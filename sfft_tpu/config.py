@@ -1,0 +1,190 @@
+"""Static configuration for an SFFT solve.
+
+The reference "compiles" 13 CUDA kernels per (N0, N1, KerHW, DK, DB,
+ConstPhotRatio) tuple (reference: sfft/sfftcore/SFFTConfigure.py:7-815). Here the
+equivalent is a frozen, hashable dataclass: everything shape-like is static, so a
+jitted solve traces once per config and is cached by JAX exactly like the
+reference's RawModule dict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BasisSpec:
+    """Spatial-variation basis for kernel / background / scaling.
+
+    kind='polynomial': standard 2D polynomial with triangular multi-index
+        {x^i y^j : i+j <= degree} in ScaledFortranCoor (reference convention:
+        cx=(row+1)/N0, cy=(col+1)/N1; sfft/sfftcore/SFFTSubtract.py:545-560).
+    kind='bspline': tensor-product clamped B-spline basis with `degree` and
+        internal knots (reference: sfft/BSplineSFFT.py:2624-2645).
+    """
+
+    kind: str = "polynomial"  # 'polynomial' | 'bspline'
+    degree: int = 2
+    # internal knot positions in pixels along X / Y (bspline only); static tuple
+    int_knots_x: Tuple[float, ...] = ()
+    int_knots_y: Tuple[float, ...] = ()
+
+    def num_funcs(self) -> int:
+        if self.kind == "polynomial":
+            return (self.degree + 1) * (self.degree + 2) // 2
+        if self.kind == "bspline":
+            fi = len(self.int_knots_x) + self.degree + 1
+            fj = len(self.int_knots_y) + self.degree + 1
+            return fi * fj
+        raise ValueError(f"unknown basis kind {self.kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class SFFTConfig:
+    """All static parameters of one SFFT problem instance."""
+
+    N0: int  # image X size (axis 0, NAXIS1 after the .T convention)
+    N1: int  # image Y size (axis 1, NAXIS2 after the .T convention)
+    w0: int  # kernel half-width along X
+    w1: int  # kernel half-width along Y
+    kernel_basis: BasisSpec = BasisSpec()
+    bg_basis: BasisSpec = BasisSpec()
+    const_phot_ratio: bool = True
+    # Tikhonov kernel regularization (v2 engine feature); 0.0 disables.
+    regularize_lambda: float = 0.0
+    regularize_ignore_bg: bool = True
+    # numerics
+    dtype: str = "float64"  # 'float64' | 'float32'
+    # greek backend: 'fft' (rfft2/irfft2 Hadamard path; needs complex FFT for the
+    # dtype) | 'corr' (FFT-free direct correlation via matmuls; works in f64 on
+    # TPU where complex128 FFT does not compile)
+    greek_backend: str = "fft"
+    # difference construction: 'fft' (Fourier-space, reference-equivalent) |
+    # 'conv' (real-space circular convolution via lax.conv; complex-free)
+    fdiff_backend: str = "fft"
+    # linear solver: 'lu' | 'cho' | 'host' (pure_callback to numpy on the host;
+    # for TPU f64 where on-device LU is unsupported) | 'blocked_cho'
+    solver: str = "lu"
+    # chunk size for the Greek pair axis (memory throttling; the reference's
+    # MINIMIZE_GPU_MEMORY_USAGE analog). 0 = no chunking.
+    greek_chunk: int = 0
+
+    # ---- derived static quantities -------------------------------------
+    @property
+    def L0(self) -> int:
+        return 2 * self.w0 + 1
+
+    @property
+    def L1(self) -> int:
+        return 2 * self.w1 + 1
+
+    @property
+    def Fab(self) -> int:
+        return self.L0 * self.L1
+
+    @property
+    def Fij(self) -> int:
+        return self.kernel_basis.num_funcs()
+
+    @property
+    def Fpq(self) -> int:
+        return self.bg_basis.num_funcs()
+
+    @property
+    def Fijab(self) -> int:
+        return self.Fij * self.Fab
+
+    @property
+    def NEQ(self) -> int:
+        return self.Fij * self.Fab + self.Fpq
+
+    @property
+    def SCALE(self) -> float:
+        return 1.0 / (self.N0 * self.N1)
+
+    @property
+    def center_ab(self) -> int:
+        # flat index of kernel offset (a, b) == (0, 0) in the (L0, L1) raster
+        return self.w0 * self.L1 + self.w1
+
+    @property
+    def NEQ_FSfree(self) -> int:
+        if not self.const_phot_ratio:
+            return self.NEQ
+        return self.NEQ - (self.Fij - 1)
+
+    def validate(self) -> None:
+        if self.kernel_basis.kind == "polynomial" and self.kernel_basis.degree not in (0, 1, 2, 3):
+            raise ValueError("kernel polynomial degree must be 0/1/2/3")
+        if self.bg_basis.kind == "polynomial" and self.bg_basis.degree not in (0, 1, 2, 3):
+            raise ValueError("background polynomial degree must be 0/1/2/3")
+        if min(self.N0, self.N1) <= 4 * max(self.w0, self.w1):
+            raise ValueError("image too small for the requested kernel half-width")
+
+
+@lru_cache(maxsize=128)
+def make_config(
+    NX: int,
+    NY: int,
+    KerHW: int,
+    KerPolyOrder: int = 2,
+    BGPolyOrder: int = 2,
+    ConstPhotRatio: bool = True,
+    dtype: str = "float64",
+    greek_backend: Optional[str] = None,
+    fdiff_backend: Optional[str] = None,
+    solver: Optional[str] = None,
+    greek_chunk: int = 0,
+) -> SFFTConfig:
+    """Reference-parameter-compatible constructor.
+
+    Mirrors SingleSFFTConfigure.SSC(NX, NY, KerHW, KerPolyOrder, BGPolyOrder,
+    ConstPhotRatio) (reference: sfft/sfftcore/SFFTConfigure.py:1369-1397), with
+    backend knobs defaulting per platform capability.
+    """
+    import jax
+
+    platform = jax.default_backend()
+    if greek_backend is None:
+        # complex128 FFT does not compile on TPU; fall back to the FFT-free
+        # correlation backend there for float64.
+        if dtype == "float64" and platform not in ("cpu", "gpu"):
+            greek_backend = "corr"
+        else:
+            greek_backend = "fft"
+    if fdiff_backend is None:
+        if dtype == "float64" and platform not in ("cpu", "gpu"):
+            fdiff_backend = "conv"
+        else:
+            fdiff_backend = "fft"
+    if solver is None:
+        solver = "lu" if platform in ("cpu", "gpu") else "host"
+
+    cfg = SFFTConfig(
+        N0=int(NX),
+        N1=int(NY),
+        w0=int(KerHW),
+        w1=int(KerHW),
+        kernel_basis=BasisSpec(kind="polynomial", degree=int(KerPolyOrder)),
+        bg_basis=BasisSpec(kind="polynomial", degree=int(BGPolyOrder)),
+        const_phot_ratio=bool(ConstPhotRatio),
+        dtype=dtype,
+        greek_backend=greek_backend,
+        fdiff_backend=fdiff_backend,
+        solver=solver,
+        greek_chunk=int(greek_chunk),
+    )
+    cfg.validate()
+    return cfg
+
+
+def np_dtype(cfg: SFFTConfig) -> np.dtype:
+    return np.dtype(cfg.dtype)
+
+
+def complex_dtype(cfg: SFFTConfig) -> np.dtype:
+    return np.dtype("complex128" if cfg.dtype == "float64" else "complex64")

@@ -1,0 +1,133 @@
+"""The SFFT engine: configure -> jitted solve & subtract.
+
+Maps to the reference call stack ElementalSFFTSubtract.ESS /
+GeneralSFFTSubtract.GSS (sfft/sfftcore/SFFTSubtract.py:8-475, 823-923), but as
+two pure jitted functions cached per static SFFTConfig — the jit trace cache
+plays the role of the reference's per-config nvcc RawModule dict.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sfft_tpu.config import SFFTConfig
+from sfft_tpu.core.assemble import assemble_system
+from sfft_tpu.core.basis import basis_planes
+from sfft_tpu.core.fdiff import fdiff
+from sfft_tpu.core.greek import greek_tables
+from sfft_tpu.core.solve import solve_system
+
+
+def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SI = I * kernel-basis planes (reference SPixA_Iij); ST = background basis
+    planes (reference SPixA_Tpq). sfft/sfftcore/SFFTConfigure.py:109-145."""
+    dt = jnp.dtype(cfg.dtype)
+    Bk = basis_planes(cfg.kernel_basis, cfg.N0, cfg.N1, dtype=dt)
+    ST = basis_planes(cfg.bg_basis, cfg.N0, cfg.N1, dtype=dt)
+    SI = I[None, :, :].astype(dt) * Bk
+    return SI, ST
+
+
+def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarray:
+    dt = jnp.dtype(cfg.dtype)
+    mI = mI.astype(dt)
+    mJ = mJ.astype(dt)
+    SI, ST = _plane_stacks(cfg, mI)
+    Comg, Cgam, Cthe, Cphi, Cdel = greek_tables(
+        SI, ST, mJ, cfg.w0, cfg.w1, backend=cfg.greek_backend, chunk=cfg.greek_chunk
+    )
+    s = cfg.SCALE
+    # CC -> reference Pre tables (scale derivation in sfft_tpu/core/greek.py)
+    lhs, rhs = assemble_system(
+        cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
+    )
+    return solve_system(cfg, lhs, rhs)
+
+
+def _subtract_impl(
+    cfg: SFFTConfig, I: jnp.ndarray, J: jnp.ndarray, solution: jnp.ndarray
+) -> jnp.ndarray:
+    dt = jnp.dtype(cfg.dtype)
+    I = I.astype(dt)
+    J = J.astype(dt)
+    SI, ST = _plane_stacks(cfg, I)
+    return fdiff(cfg, solution.astype(dt), SI, ST, J)
+
+
+@lru_cache(maxsize=64)
+def _jitted_solve(cfg: SFFTConfig):
+    return jax.jit(partial(_solve_impl, cfg))
+
+
+@lru_cache(maxsize=64)
+def _jitted_subtract(cfg: SFFTConfig):
+    return jax.jit(partial(_subtract_impl, cfg))
+
+
+class ElementalSFFT:
+    """Reference ElementalSFFTSubtract.ESS equivalent (array-in/array-out)."""
+
+    @staticmethod
+    def ESS(
+        PixA_I,
+        PixA_J,
+        cfg: SFFTConfig,
+        SFFTSolution: Optional[jnp.ndarray] = None,
+        Subtract: bool = False,
+    ):
+        if PixA_I.shape != (cfg.N0, cfg.N1) or PixA_J.shape != (cfg.N0, cfg.N1):
+            raise ValueError(
+                f"input images must have shape ({cfg.N0}, {cfg.N1}); "
+                f"got {PixA_I.shape} / {PixA_J.shape}"
+            )
+        solution = SFFTSolution
+        if solution is None:
+            solution = _jitted_solve(cfg)(jnp.asarray(PixA_I), jnp.asarray(PixA_J))
+        diff = None
+        if Subtract:
+            diff = _jitted_subtract(cfg)(
+                jnp.asarray(PixA_I), jnp.asarray(PixA_J), jnp.asarray(solution)
+            )
+        return solution, diff
+
+
+def elemental_subtract(PixA_I, PixA_J, cfg, solution=None, subtract=False):
+    return ElementalSFFT.ESS(PixA_I, PixA_J, cfg, solution, subtract)
+
+
+class GeneralSFFT:
+    """Reference GeneralSFFTSubtract.GSS equivalent: solve on the masked pair,
+    apply to the unmasked pair, optionally propagate a contamination mask by
+    convolving it with the fitted kernel (threshold -0.001;
+    sfft/sfftcore/SFFTSubtract.py:906-921)."""
+
+    @staticmethod
+    def GSS(PixA_I, PixA_J, PixA_mI, PixA_mJ, cfg: SFFTConfig, ContamMask_I=None):
+        shapes = {
+            tuple(PixA_I.shape),
+            tuple(PixA_J.shape),
+            tuple(PixA_mI.shape),
+            tuple(PixA_mJ.shape),
+        }
+        if len(shapes) > 1:
+            raise ValueError("input images must share one shape")
+
+        solution, _ = ElementalSFFT.ESS(PixA_mI, PixA_mJ, cfg, None, Subtract=False)
+        _, diff = ElementalSFFT.ESS(PixA_I, PixA_J, cfg, solution, Subtract=True)
+
+        contam_out = None
+        if ContamMask_I is not None:
+            tsol = jnp.asarray(solution).at[-cfg.Fpq :].set(0.0)
+            tI = jnp.asarray(ContamMask_I).astype(jnp.dtype(cfg.dtype))
+            tJ = jnp.zeros_like(tI)
+            _, tD = ElementalSFFT.ESS(tI, tJ, cfg, tsol, Subtract=True)
+            contam_out = tD < -0.001
+        return solution, diff, contam_out
+
+
+def general_subtract(PixA_I, PixA_J, PixA_mI, PixA_mJ, cfg, contam_mask_I=None):
+    return GeneralSFFT.GSS(PixA_I, PixA_J, PixA_mI, PixA_mJ, cfg, contam_mask_I)

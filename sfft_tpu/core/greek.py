@@ -1,0 +1,165 @@
+"""Greek-tensor computation as windowed circular cross-correlations.
+
+The reference assembles its normal equations from six "Greek" tensors
+(OMG/GAM/PSI/PHI/THE/DEL), each of shape (F, N0, N1), produced by
+Hadamard-multiplying full FFT spectra and FFT-ing again
+(sfft/sfftcore/SFFTSubtract.py:599-729). It then *reads only a handful of
+pixels* of each plane — circular-lag lookups bounded by the kernel half-width
+(sfft/sfftcore/SFFTConfigure.py:197-275).
+
+Key identity used here: for real planes A, B,
+
+    Re FFT2( FFT2(A) * conj(FFT2(B)) )[rho, eps]
+        = N0*N1 * sum_xy A[x, y] * B[(x+rho) % N0, (y+eps) % N1]
+        = N0*N1 * CC(A, B)[rho, eps],
+
+i.e. every Greek value the solver consumes is a circular cross-correlation at a
+lag within [-2*w, 2*w]. So we never materialize (F, N0, N1) Greek planes at
+all — we compute CC windows directly, via either
+
+  * 'fft'  — batched rfft2 + Hadamard + irfft2 (inputs are real and the
+    Hadamard products are Hermitian, so half-spectra suffice; the reference
+    uses full complex128 FFTs), then a static corner gather; or
+  * 'corr' — FFT-free windowed correlation lowered to lax.conv / matmuls.
+    This is the float64 TPU path: complex128 FFT does not compile on TPU but
+    f64 matmul does (XLA double-float emulation on the MXU).
+
+Both backends return identical tables and are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _window_row_indices(N: int, w: int) -> np.ndarray:
+    """Row indices of irfft output holding CC at lags rho=-w..w (table index
+    rho+w): CC[rho] = irfft2(H)[(-rho) % N]."""
+    rho = np.arange(-w, w + 1)
+    return ((-rho) % N).astype(np.int32)
+
+
+def corr_window_fft(
+    specA: jnp.ndarray,
+    specB: jnp.ndarray,
+    N0: int,
+    N1: int,
+    wx: int,
+    wy: int,
+    chunk: int = 0,
+) -> jnp.ndarray:
+    """CC(A_a, B_b)[rho, eps] for all pairs, lags |rho|<=wx, |eps|<=wy.
+
+    specA: (Fa, N0, N1h) raw rfft2 spectra of A stack; specB likewise (Fb, ...).
+    Returns (Fa, Fb, 2*wx+1, 2*wy+1).
+    """
+    Fa, Fb = specA.shape[0], specB.shape[0]
+    rows = _window_row_indices(N0, wx)
+    cols = _window_row_indices(N1, wy)
+    H = specA[:, None, :, :] * jnp.conj(specB)[None, :, :, :]
+    H = H.reshape(Fa * Fb, N0, specA.shape[-1])
+
+    def one_chunk(h):
+        cc = jnp.fft.irfft2(h, s=(N0, N1))
+        return cc[:, rows][:, :, cols]
+
+    if chunk and Fa * Fb > chunk:
+        npairs = Fa * Fb
+        pad = (-npairs) % chunk
+        Hp = jnp.pad(H, ((0, pad), (0, 0), (0, 0)))
+        Hp = Hp.reshape(-1, chunk, N0, specA.shape[-1])
+        out = lax.map(one_chunk, Hp).reshape(-1, 2 * wx + 1, 2 * wy + 1)[:npairs]
+    else:
+        out = one_chunk(H)
+    return out.reshape(Fa, Fb, 2 * wx + 1, 2 * wy + 1)
+
+
+def corr_window_conv(
+    A: jnp.ndarray, B: jnp.ndarray, wx: int, wy: int
+) -> jnp.ndarray:
+    """FFT-free CC(A_a, B_b) window via a VALID correlation conv.
+
+    A: (Fa, N0, N1), B: (Fb, N0, N1) real stacks. B is wrap-padded so the conv
+    output pixel (rho+wx, eps+wy) is the circular correlation at lag (rho, eps).
+    XLA lowers this to im2col matmuls on the MXU; in float64 it runs through
+    XLA's double-float emulation (the only f64 route on TPU, where complex128
+    FFT is unsupported).
+    """
+    Fa, N0, N1 = A.shape
+    Fb = B.shape[0]
+    Bpad = jnp.pad(B, ((0, 0), (wx, wx), (wy, wy)), mode="wrap")
+    # input: (batch=Fb, feat=1, H, W); filter: (out_feat=Fa, in_feat=1, N0, N1)
+    out = lax.conv_general_dilated(
+        Bpad[:, None, :, :],
+        A[:, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+    )
+    # out[b, a, rho+wx, eps+wy] = sum_xy Bpad[b, x+rho+wx, y+eps+wy] * A[a, x, y]
+    return jnp.transpose(out, (1, 0, 2, 3))
+
+
+def dot_planes(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Lag-zero correlations only: (Fa, Fb) matrix of plane inner products."""
+    Fa = A.shape[0]
+    Fb = B.shape[0]
+    return jnp.einsum(
+        "ap,bp->ab",
+        A.reshape(Fa, -1),
+        B.reshape(Fb, -1),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def greek_tables(
+    SI: jnp.ndarray,
+    ST: jnp.ndarray,
+    J: jnp.ndarray,
+    w0: int,
+    w1: int,
+    backend: str = "fft",
+    chunk: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """All correlation tables the assembly needs.
+
+    Returns (Comg, Cgam, Cthe, Cphi, Cdel):
+      Comg: (Fij, Fij, 4*w0+1, 4*w1+1)   lags -2w..2w, index lag+2w
+      Cgam: (Fij, Fpq, 2*w0+1, 2*w1+1)   lags -w..w, index lag+w
+            (the PSI table is its mirror: CC(T,I)[d] = CC(I,T)[-d])
+      Cthe: (Fij, 2*w0+1, 2*w1+1)
+      Cphi: (Fpq, Fpq) lag 0
+      Cdel: (Fpq,)     lag 0
+
+    Unscaled CC values; the engine applies the SCALE powers that map CC to the
+    reference's Pre tables (PreOMG = SCALE^3 * CC, PreGAM/PSI/THE = SCALE^2 * CC,
+    PrePHI/DEL = SCALE * CC; scales from sfft/sfftcore/SFFTSubtract.py:620-729).
+    """
+    N0, N1 = J.shape
+    # Lag-zero blocks are plain inner products — never worth an FFT.
+    Cphi = dot_planes(ST, ST)
+    Cdel = dot_planes(ST, J[None])[:, 0]
+
+    if backend == "fft":
+        stack = jnp.concatenate([J[None], SI, ST], axis=0)
+        specs = jnp.fft.rfft2(stack)
+        Fij = SI.shape[0]
+        specJ = specs[0:1]
+        specI = specs[1 : 1 + Fij]
+        specT = specs[1 + Fij :]
+        Comg = corr_window_fft(specI, specI, N0, N1, 2 * w0, 2 * w1, chunk=chunk)
+        Cgam = corr_window_fft(specI, specT, N0, N1, w0, w1, chunk=chunk)
+        Cthe = corr_window_fft(specI, specJ, N0, N1, w0, w1, chunk=chunk)[:, 0]
+    elif backend == "corr":
+        Comg = corr_window_conv(SI, SI, 2 * w0, 2 * w1)
+        Cgam = corr_window_conv(SI, ST, w0, w1)
+        Cthe = corr_window_conv(SI, J[None], w0, w1)[:, 0]
+    else:
+        raise ValueError(f"unknown greek backend {backend!r}")
+    return Comg, Cgam, Cthe, Cphi, Cdel

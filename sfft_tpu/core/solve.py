@@ -1,0 +1,120 @@
+"""Dense solve of the SFFT normal equations, with TPU-aware backends.
+
+Reference: stripe removal + LU (sfft/sfftcore/SFFTConfigure.py:690-732,
+sfft/sfftcore/SFFTSubtract.py:732-757). The ConstPhotRatio "forbidden stripes"
+(the kernel-sum dof of every non-constant spatial term) are removed by a static
+gather and the solution re-extended by a static scatter — both indices are
+numpy constants per config.
+
+Solver backends:
+  'lu'    jnp.linalg.solve (LAPACK on CPU; fine where f64 LU compiles)
+  'cho'   Cholesky — the system is a Gram matrix (symmetric positive definite
+          in exact arithmetic), so this is valid and faster
+  'host'  jax.pure_callback to numpy LAPACK — the float64 TPU route (on-device
+          f64 LU does not compile on TPU); the system is tiny (NEQ ~ a few
+          thousand) so the round-trip is cheap relative to the image-size work
+  'blocked_cho'  on-device blocked Cholesky built from f64 matmuls (XLA
+          double-float emulation) — keeps everything on-chip
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfft_tpu.config import SFFTConfig
+from sfft_tpu.core.indices import stripe_indices
+
+
+def _host_solve(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    def _np_solve(args):
+        a, b = args
+        return np.linalg.solve(np.asarray(a), np.asarray(b)).astype(a.dtype)
+
+    return jax.pure_callback(
+        _np_solve,
+        jax.ShapeDtypeStruct(rhs.shape, rhs.dtype),
+        (lhs, rhs),
+        vmap_method="sequential",
+    )
+
+
+def _blocked_cholesky(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
+    """Lower Cholesky factor via right-looking blocked algorithm.
+
+    Panel factorization and triangular solves stay small (nb x nb); the trailing
+    update is a matmul — the only f64 primitive that is fast(ish) on TPU.
+    """
+    n = A.shape[0]
+    nblk = -(-n // nb)
+    npad = nblk * nb
+    Ap = jnp.zeros((npad, npad), A.dtype).at[:n, :n].set(A)
+    # keep padded diagonal nonsingular
+    Ap = Ap.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    L = jnp.zeros_like(Ap)
+
+    def chol_small(M):
+        # unblocked Cholesky of an nb x nb block via fori over columns
+        def body(j, Lc):
+            d = jnp.sqrt(M2[j, j] - jnp.dot(Lc[j, :], Lc[j, :]))
+            col = (M2[:, j] - Lc @ Lc[j, :]) / d
+            mask = jnp.arange(M.shape[0]) > j
+            Lc = Lc.at[:, j].set(jnp.where(mask, col, 0.0))
+            Lc = Lc.at[j, j].set(d)
+            return Lc
+
+        M2 = M
+        return jax.lax.fori_loop(0, M.shape[0], body, jnp.zeros_like(M))
+
+    def tri_solve_lower(Ld, B):
+        # solve Ld @ X^T = B^T i.e. X @ Ld^T = B, row block of L
+        return jax.scipy.linalg.solve_triangular(Ld, B.T, lower=True).T
+
+    Acur = Ap
+    for k in range(nblk):
+        s = k * nb
+        diag = Acur[s : s + nb, s : s + nb]
+        Lkk = chol_small(diag)
+        below = Acur[s + nb :, s : s + nb]
+        Lbk = tri_solve_lower(Lkk, below) if below.shape[0] else below
+        L = L.at[s : s + nb, s : s + nb].set(Lkk)
+        if below.shape[0]:
+            L = L.at[s + nb :, s : s + nb].set(Lbk)
+            upd = Lbk @ Lbk.T
+            Acur = Acur.at[s + nb :, s + nb :].add(-upd)
+    return L[:n, :n]
+
+
+def solve_system(
+    cfg: SFFTConfig, lhs: jnp.ndarray, rhs: jnp.ndarray
+) -> jnp.ndarray:
+    """Solve, honoring ConstPhotRatio stripe removal. Returns the NEQ-length
+    solution with zeros re-inserted at the forbidden indices."""
+    idx = stripe_indices(cfg)
+    reduced = cfg.const_phot_ratio and len(idx) != cfg.NEQ
+    if reduced:
+        A = lhs[np.ix_(idx, idx)]
+        b = rhs[idx]
+    else:
+        A, b = lhs, rhs
+
+    if cfg.solver == "lu":
+        x = jnp.linalg.solve(A, b)
+    elif cfg.solver == "cho":
+        c, low = jax.scipy.linalg.cho_factor(A, lower=True)
+        x = jax.scipy.linalg.cho_solve((c, low), b)
+    elif cfg.solver == "host":
+        x = _host_solve(A, b)
+    elif cfg.solver == "blocked_cho":
+        L = _blocked_cholesky(A)
+        y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    else:
+        raise ValueError(f"unknown solver {cfg.solver!r}")
+
+    if reduced:
+        sol = jnp.zeros((cfg.NEQ,), x.dtype).at[idx].set(x)
+    else:
+        sol = x
+    return sol

@@ -1,0 +1,248 @@
+"""Minimal pure-numpy FITS image I/O.
+
+astropy is not available in this environment; the reference uses
+astropy.io.fits purely for primary-HDU image reads/writes with simple headers
+(e.g. sfft/CustomizedPacket.py:93-96, 190-221). This module implements that
+subset: multi-HDU image read (primary + IMAGE extensions), BITPIX
+8/16/32/64/-32/-64 with BSCALE/BZERO, and primary-HDU image writes with
+user header cards.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+BLOCK = 2880
+
+_BITPIX_DTYPE = {
+    8: np.dtype(">u1"),
+    16: np.dtype(">i2"),
+    32: np.dtype(">i4"),
+    64: np.dtype(">i8"),
+    -32: np.dtype(">f4"),
+    -64: np.dtype(">f8"),
+}
+
+
+class Header(dict):
+    """Ordered card dict with list-of-(key, value, comment) retention."""
+
+    def __init__(self):
+        super().__init__()
+        self.cards: List[Tuple[str, object, str]] = []
+
+    def add(self, key: str, value, comment: str = ""):
+        self.cards.append((key, value, comment))
+        if key not in ("COMMENT", "HISTORY", ""):
+            self[key] = value
+
+
+def _parse_value(raw: str):
+    s = raw.strip()
+    if not s:
+        return None
+    if s.startswith("'"):
+        # FITS string: quotes doubled inside
+        end = s.rfind("'")
+        return s[1:end].replace("''", "'").rstrip()
+    if s == "T":
+        return True
+    if s == "F":
+        return False
+    try:
+        if any(c in s for c in ".EeDd") and not s.lstrip("+-").isdigit():
+            return float(s.replace("D", "E").replace("d", "e"))
+        return int(s)
+    except ValueError:
+        return s
+
+
+def _read_header(f) -> Optional[Header]:
+    hdr = Header()
+    first = True
+    while True:
+        block = f.read(BLOCK)
+        if len(block) < BLOCK:
+            if first and not block:
+                return None
+            if not block.strip():
+                return None
+            raise IOError("truncated FITS header")
+        first = False
+        text = block.decode("ascii", errors="replace")
+        done = False
+        for i in range(0, BLOCK, 80):
+            card = text[i : i + 80]
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if not key and not card.strip():
+                continue
+            if key in ("COMMENT", "HISTORY"):
+                hdr.add(key, card[8:].rstrip())
+                continue
+            if card[8:10] == "= ":
+                body = card[10:]
+                slash = _find_comment_slash(body)
+                rawval = body[:slash] if slash >= 0 else body
+                comment = body[slash + 1 :].strip() if slash >= 0 else ""
+                hdr.add(key, _parse_value(rawval), comment)
+            else:
+                hdr.add(key, card[8:].rstrip())
+        if done:
+            return hdr
+
+
+def _find_comment_slash(body: str) -> int:
+    in_str = False
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "'":
+            if in_str and i + 1 < len(body) and body[i + 1] == "'":
+                i += 2
+                continue
+            in_str = not in_str
+        elif c == "/" and not in_str:
+            return i
+        i += 1
+    return -1
+
+
+def _data_shape(hdr: Header) -> Tuple[int, ...]:
+    naxis = int(hdr.get("NAXIS", 0))
+    # FITS is Fortran order: NAXIS1 fastest -> numpy shape reversed
+    return tuple(int(hdr[f"NAXIS{k}"]) for k in range(naxis, 0, -1))
+
+
+def _read_hdu(f):
+    hdr = _read_header(f)
+    if hdr is None:
+        return None
+    shape = _data_shape(hdr)
+    data = None
+    if shape and all(s > 0 for s in shape):
+        bitpix = int(hdr["BITPIX"])
+        dt = _BITPIX_DTYPE[bitpix]
+        nbytes = int(np.prod(shape)) * dt.itemsize
+        raw = f.read(nbytes)
+        if len(raw) < nbytes:
+            raise IOError("truncated FITS data")
+        # skip padding to block boundary
+        pad = (-nbytes) % BLOCK
+        f.seek(pad, os.SEEK_CUR)
+        data = np.frombuffer(raw, dtype=dt).reshape(shape)
+        bscale = hdr.get("BSCALE", 1)
+        bzero = hdr.get("BZERO", 0)
+        if bscale != 1 or bzero != 0:
+            data = data.astype(np.float64) * bscale + bzero
+        else:
+            data = data.astype(dt.newbyteorder("="))
+    else:
+        # still consume (possibly zero-length) data segment
+        pass
+    return hdr, data
+
+
+def read(path: str, ext: int = 0) -> Tuple[np.ndarray, Header]:
+    """Read image data + header of HDU `ext` (0 = primary)."""
+    with open(path, "rb") as f:
+        idx = 0
+        while True:
+            hdu = _read_hdu(f)
+            if hdu is None:
+                raise IndexError(f"HDU {ext} not found in {path}")
+            if idx == ext:
+                hdr, data = hdu
+                return data, hdr
+            idx += 1
+
+
+def getdata(path: str, ext: int = 0) -> np.ndarray:
+    return read(path, ext)[0]
+
+
+def getheader(path: str, ext: int = 0) -> Header:
+    return read(path, ext)[1]
+
+
+def _format_card(key: str, value, comment: str = "") -> bytes:
+    if key in ("COMMENT", "HISTORY"):
+        card = f"{key:<8}{str(value)[:72]}"
+    else:
+        if isinstance(value, bool):
+            v = "T" if value else "F"
+            field = f"{v:>20}"
+        elif isinstance(value, (int, np.integer)):
+            field = f"{int(value):>20}"
+        elif isinstance(value, (float, np.floating)):
+            field = f"{float(value):>20.13G}"
+        elif value is None:
+            field = " " * 20
+        else:
+            s = str(value).replace("'", "''")
+            field = f"'{s:<8}'"
+        card = f"{key:<8}= {field}"
+        if comment:
+            card += f" / {comment}"
+    return card[:80].ljust(80).encode("ascii")
+
+
+def write(
+    path: str,
+    data: np.ndarray,
+    header: Optional[Union[Header, Dict]] = None,
+    overwrite: bool = True,
+):
+    """Write a primary-HDU image FITS file."""
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(path)
+    data = np.asarray(data)
+    if data.dtype == np.float64:
+        bitpix, odt = -64, np.dtype(">f8")
+    elif data.dtype == np.float32:
+        bitpix, odt = -32, np.dtype(">f4")
+    elif data.dtype in (np.int16,):
+        bitpix, odt = 16, np.dtype(">i2")
+    elif data.dtype in (np.int32,):
+        bitpix, odt = 32, np.dtype(">i4")
+    elif data.dtype in (np.int64,):
+        bitpix, odt = 64, np.dtype(">i8")
+    elif data.dtype == bool:
+        data = data.astype(np.int16)
+        bitpix, odt = 16, np.dtype(">i2")
+    else:
+        data = data.astype(np.float64)
+        bitpix, odt = -64, np.dtype(">f8")
+
+    cards = [
+        _format_card("SIMPLE", True, "conforms to FITS standard"),
+        _format_card("BITPIX", bitpix),
+        _format_card("NAXIS", data.ndim),
+    ]
+    for k, n in enumerate(reversed(data.shape), start=1):
+        cards.append(_format_card(f"NAXIS{k}", n))
+
+    reserved = {"SIMPLE", "BITPIX", "NAXIS"} | {f"NAXIS{k}" for k in range(1, 10)}
+    if header is not None:
+        items = header.cards if isinstance(header, Header) else [
+            (k, v, "") for k, v in header.items()
+        ]
+        for key, value, *rest in items:
+            if key in reserved:
+                continue
+            comment = rest[0] if rest else ""
+            cards.append(_format_card(key, value, comment))
+    cards.append(b"END".ljust(80))
+
+    hdr_bytes = b"".join(cards)
+    hdr_bytes += b" " * ((-len(hdr_bytes)) % BLOCK)
+    body = data.astype(odt).tobytes()
+    body += b"\x00" * ((-len(body)) % BLOCK)
+    with open(path, "wb") as f:
+        f.write(hdr_bytes)
+        f.write(body)

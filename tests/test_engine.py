@@ -1,0 +1,144 @@
+"""Engine correctness vs the independent dense-LSQ oracle + property tests."""
+
+import numpy as np
+import pytest
+
+import sfft_tpu  # noqa: F401  (enables x64)
+from sfft_tpu.config import SFFTConfig, BasisSpec
+from sfft_tpu.core.engine import ElementalSFFT, GeneralSFFT
+
+from oracle import solve_oracle, model_image, design_matrix
+
+
+def make_pair(rng, N0=24, N1=20, nsrc=12):
+    """Synthetic I with gaussian sources + smooth bg; J = shifted/blurred-ish."""
+    yy, xx = np.meshgrid(np.arange(N1), np.arange(N0))
+    I = 10.0 + 0.01 * xx + 0.02 * yy
+    for _ in range(nsrc):
+        x0, y0 = rng.uniform(2, N0 - 2), rng.uniform(2, N1 - 2)
+        amp = rng.uniform(50, 300)
+        sig = rng.uniform(0.8, 1.6)
+        I = I + amp * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sig**2))
+    J = np.roll(I, (0, 0), axis=(0, 1)) * 1.12 + 3.0
+    J = J + rng.normal(0, 0.8, size=I.shape)
+    I = I + rng.normal(0, 0.5, size=I.shape)
+    return I, J
+
+
+def base_cfg(N0=24, N1=20, w=1, DK=2, DB=2, cpr=True, **kw):
+    defaults = dict(
+        N0=N0, N1=N1, w0=w, w1=w,
+        kernel_basis=BasisSpec("polynomial", DK),
+        bg_basis=BasisSpec("polynomial", DB),
+        const_phot_ratio=cpr,
+    )
+    defaults.update(kw)
+    return SFFTConfig(**defaults)
+
+
+@pytest.mark.parametrize("cpr", [True, False])
+@pytest.mark.parametrize("w", [1, 2])
+def test_solution_matches_oracle(rng, cpr, w):
+    I, J = make_pair(rng)
+    cfg = base_cfg(w=w, cpr=cpr)
+    sol, _ = ElementalSFFT.ESS(I, J, cfg)
+    sol = np.asarray(sol)
+    sol_o = solve_oracle(I, J, w, w, 2, 2, const_phot_ratio=cpr)
+    assert np.allclose(sol, sol_o, rtol=1e-7, atol=1e-9 * np.abs(sol_o).max())
+
+
+@pytest.mark.parametrize("DK,DB", [(0, 0), (1, 2), (2, 1), (3, 3)])
+def test_poly_orders(rng, DK, DB):
+    I, J = make_pair(rng)
+    cfg = base_cfg(DK=DK, DB=DB)
+    sol, diff = ElementalSFFT.ESS(I, J, cfg, Subtract=True)
+    sol_o = solve_oracle(I, J, 1, 1, DK, DB, const_phot_ratio=True)
+    assert np.allclose(np.asarray(sol), sol_o, rtol=1e-6, atol=1e-8 * np.abs(sol_o).max())
+    diff_o = J - model_image(I, sol_o, 1, 1, DK, DB)
+    assert np.allclose(np.asarray(diff), diff_o, atol=1e-8 * np.abs(J).max())
+
+
+def test_diff_matches_oracle_model(rng):
+    I, J = make_pair(rng)
+    cfg = base_cfg()
+    sol, diff = ElementalSFFT.ESS(I, J, cfg, Subtract=True)
+    diff_o = J - model_image(I, np.asarray(sol), 1, 1, 2, 2)
+    assert np.allclose(np.asarray(diff), diff_o, atol=1e-9 * np.abs(J).max())
+
+
+def test_exact_recovery_zero_residual(rng):
+    """J built exactly from the model => DIFF ~ 0 and coefficients recovered."""
+    I, _ = make_pair(rng)
+    N0, N1, w = I.shape[0], I.shape[1], 1
+    X = design_matrix(I, N0, N1, w, w, 2, 2)
+    neq = X.shape[1]
+    coeffs = np.zeros(neq)
+    rng2 = np.random.default_rng(7)
+    coeffs[:] = rng2.normal(0, 1.0, neq)
+    # respect ConstPhotRatio: zero the forbidden kernel-sum dofs
+    from oracle import stripe_free_indices
+
+    keep = stripe_free_indices(w, w, 2, 2)
+    mask = np.zeros(neq, dtype=bool)
+    mask[keep] = True
+    coeffs[~mask] = 0.0
+    J = (X @ coeffs).reshape(N0, N1)
+
+    cfg = base_cfg()
+    sol, diff = ElementalSFFT.ESS(I, J, cfg, Subtract=True)
+    assert np.allclose(np.asarray(sol), coeffs, rtol=1e-6, atol=1e-8)
+    assert np.abs(np.asarray(diff)).max() < 1e-8 * np.abs(J).max()
+
+
+def test_backend_consistency(rng):
+    """fft vs corr greek backends and fft vs conv fdiff backends agree."""
+    I, J = make_pair(rng)
+    cfg_fft = base_cfg(greek_backend="fft", fdiff_backend="fft")
+    cfg_corr = base_cfg(greek_backend="corr", fdiff_backend="conv")
+    sol1, d1 = ElementalSFFT.ESS(I, J, cfg_fft, Subtract=True)
+    sol2, d2 = ElementalSFFT.ESS(I, J, cfg_corr, Subtract=True)
+    # both backends solve the same system up to f64 roundoff; conditioning
+    # amplifies the table differences into ~1e-8 relative solution changes
+    s1, s2 = np.asarray(sol1), np.asarray(sol2)
+    assert np.allclose(s1, s2, rtol=1e-5, atol=1e-6 * np.abs(s1).max())
+    d1a, d2a = np.asarray(d1), np.asarray(d2)
+    assert np.allclose(d1a, d2a, atol=1e-7 * np.abs(d1a).max())
+
+
+def test_greek_chunking(rng):
+    I, J = make_pair(rng)
+    sol1, _ = ElementalSFFT.ESS(I, J, base_cfg())
+    sol2, _ = ElementalSFFT.ESS(I, J, base_cfg(greek_chunk=5))
+    assert np.allclose(np.asarray(sol1), np.asarray(sol2), rtol=1e-12)
+
+
+@pytest.mark.parametrize("solver", ["lu", "cho", "host", "blocked_cho"])
+def test_solvers_agree(rng, solver):
+    I, J = make_pair(rng)
+    sol, _ = ElementalSFFT.ESS(I, J, base_cfg(solver=solver))
+    sol_ref, _ = ElementalSFFT.ESS(I, J, base_cfg(solver="lu"))
+    assert np.allclose(np.asarray(sol), np.asarray(sol_ref), rtol=1e-6, atol=1e-8)
+
+
+def test_general_subtract_with_masks(rng):
+    I, J = make_pair(rng)
+    mI, mJ = I.copy(), J.copy()
+    mI[5:8, 5:8] = 0.0
+    mJ[5:8, 5:8] = 0.0
+    sol, diff, contam = GeneralSFFT.GSS(I, J, mI, mJ, base_cfg(), ContamMask_I=None)
+    sol_o = solve_oracle(mI, mJ, 1, 1, 2, 2, const_phot_ratio=True)
+    assert np.allclose(np.asarray(sol), sol_o, rtol=1e-6, atol=1e-8 * np.abs(sol_o).max())
+    diff_o = J - model_image(I, sol_o, 1, 1, 2, 2)
+    assert np.allclose(np.asarray(diff), diff_o, atol=1e-8 * np.abs(J).max())
+    assert contam is None
+
+
+def test_contam_mask_propagation(rng):
+    I, J = make_pair(rng)
+    contam = np.zeros(I.shape, dtype=bool)
+    contam[10:13, 10:13] = True
+    _, _, contam_out = GeneralSFFT.GSS(I, J, I, J, base_cfg(), ContamMask_I=contam)
+    contam_out = np.asarray(contam_out)
+    # propagated mask must cover the original contaminated pixels' neighborhood
+    assert contam_out.shape == I.shape
+    assert contam_out.sum() >= contam.sum()
