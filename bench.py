@@ -1,0 +1,105 @@
+"""Headline benchmark: 4Kx4K image-pair solve+subtract wall time on one chip.
+
+Baseline (BASELINE.md): reference CuPy SFFT does a 4096^2 pair in ~1.35 s on an
+NVIDIA A100 (float64). Target: < 1 s per pair on one TPU chip.
+
+Runs the production TPU config: float64 contract with the peeled
+mixed-precision assembly (exact-f64 moments + c64 FFT fluctuation
+correlations), f32-LU + f64-refinement solver, c64 FFT difference
+construction. Timing is measured with on-device reduction and a scalar fetch
+(the axon tunnel's D2H path is ~30 MB/s and block_until_ready does not
+synchronize, so naive timing is invalid).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline > 1.0 means faster than the A100 reference.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_4K_S = 1.35
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_pair(n, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    I = 200.0 * (1.0 + 0.2 * xx / n + 0.3 * (yy / n) ** 2)
+    k = 2000
+    xs = rng.integers(4, n - 4, k)
+    ys = rng.integers(4, n - 4, k)
+    amps = rng.uniform(100, 2000, k)
+    psf = np.array(
+        [[0.01, 0.05, 0.1, 0.05, 0.01],
+         [0.05, 0.3, 0.6, 0.3, 0.05],
+         [0.1, 0.6, 1.0, 0.6, 0.1],
+         [0.05, 0.3, 0.6, 0.3, 0.05],
+         [0.01, 0.05, 0.1, 0.05, 0.01]]
+    )
+    for x, y, a in zip(xs, ys, amps):
+        I[x - 2 : x + 3, y - 2 : y + 3] += a * psf
+    J = 1.1 * I + 5.0 + rng.normal(0, 1.0, (n, n))
+    I = I + rng.normal(0, 1.0, (n, n))
+    return I, J
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from sfft_tpu.config import make_config
+    from sfft_tpu.core.engine import solve_and_subtract_fn
+
+    platform = jax.default_backend()
+    log(f"platform: {platform}, devices: {jax.devices()}")
+
+    n = 4096 if platform != "cpu" else 1024
+    cfg = make_config(n, n, 8, dtype="float64", greek_chunk=12)
+    log(f"config: greek={cfg.greek_backend} fdiff={cfg.fdiff_backend} "
+        f"solver={cfg.solver} NEQ={cfg.NEQ}")
+
+    step = solve_and_subtract_fn(cfg)
+
+    def timed_step(I, J):
+        sol, diff = step(I, J, I, J)
+        # tiny on-device summary forces full execution; fetch is a few floats
+        return jnp.stack([
+            jnp.sqrt(jnp.mean(diff**2)),
+            jnp.sum(jnp.abs(sol)),
+            diff[0, 0],
+        ])
+
+    fn = jax.jit(timed_step)
+    I, J = make_pair(n)
+    Id = jax.device_put(jnp.asarray(I))
+    Jd = jax.device_put(jnp.asarray(J))
+
+    t0 = time.time()
+    out = np.asarray(fn(Id, Jd))
+    log(f"compile+first run: {time.time() - t0:.2f}s; diff RMS {out[0]:.4f}")
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        out = np.asarray(fn(Id, Jd))
+        times.append(time.time() - t0)
+    t = min(times)
+    log(f"best of 5: {t*1000:.1f} ms; diff RMS {out[0]:.4f} (noise sigma ~1.49)")
+
+    print(json.dumps({
+        "metric": f"{n}x{n}_f64_subtract_wall",
+        "value": round(t, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_4K_S / t, 3) if n == 4096 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

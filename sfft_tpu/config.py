@@ -72,6 +72,11 @@ class SFFTConfig:
     # chunk size for the Greek pair axis (memory throttling; the reference's
     # MINIMIZE_GPU_MEMORY_USAGE analog). 0 = no chunking.
     greek_chunk: int = 0
+    # 'peeled' backend knobs: degree of the exact polynomial peel and the dtype
+    # of the fluctuation x fluctuation FFT part ('float32' on TPU,
+    # 'float64' for the exact CPU cross-check).
+    peel_degree: int = 3
+    fluct_dtype: str = "float32"
 
     # ---- derived static quantities -------------------------------------
     @property
@@ -149,20 +154,16 @@ def make_config(
     import jax
 
     platform = jax.default_backend()
+    on_tpu = platform not in ("cpu", "gpu")
     if greek_backend is None:
-        # complex128 FFT does not compile on TPU; fall back to the FFT-free
-        # correlation backend there for float64.
-        if dtype == "float64" and platform not in ("cpu", "gpu"):
-            greek_backend = "corr"
-        else:
-            greek_backend = "fft"
+        # complex128 FFT does not compile on TPU: use the smooth/fluctuation
+        # peeled mixed-precision assembly there (exact-f64 moments + c64 FFT
+        # fluctuation correlations; see sfft_tpu/core/peel.py).
+        greek_backend = "peeled" if (dtype == "float64" and on_tpu) else "fft"
     if fdiff_backend is None:
-        if dtype == "float64" and platform not in ("cpu", "gpu"):
-            fdiff_backend = "conv"
-        else:
-            fdiff_backend = "fft"
+        fdiff_backend = "fft32" if (dtype == "float64" and on_tpu) else "fft"
     if solver is None:
-        solver = "lu" if platform in ("cpu", "gpu") else "host"
+        solver = "refined" if on_tpu else "lu"
 
     cfg = SFFTConfig(
         N0=int(NX),

@@ -36,10 +36,15 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
     dt = jnp.dtype(cfg.dtype)
     mI = mI.astype(dt)
     mJ = mJ.astype(dt)
-    SI, ST = _plane_stacks(cfg, mI)
-    Comg, Cgam, Cthe, Cphi, Cdel = greek_tables(
-        SI, ST, mJ, cfg.w0, cfg.w1, backend=cfg.greek_backend, chunk=cfg.greek_chunk
-    )
+    if cfg.greek_backend == "peeled":
+        from sfft_tpu.core.peel import peeled_greek_tables
+
+        Comg, Cgam, Cthe, Cphi, Cdel = peeled_greek_tables(mI, mJ, cfg)
+    else:
+        SI, ST = _plane_stacks(cfg, mI)
+        Comg, Cgam, Cthe, Cphi, Cdel = greek_tables(
+            SI, ST, mJ, cfg.w0, cfg.w1, backend=cfg.greek_backend, chunk=cfg.greek_chunk
+        )
     s = cfg.SCALE
     # CC -> reference Pre tables (scale derivation in sfft_tpu/core/greek.py)
     lhs, rhs = assemble_system(
@@ -66,6 +71,24 @@ def _jitted_solve(cfg: SFFTConfig):
 @lru_cache(maxsize=64)
 def _jitted_subtract(cfg: SFFTConfig):
     return jax.jit(partial(_subtract_impl, cfg))
+
+
+def solve_and_subtract_fn(cfg: SFFTConfig):
+    """One fused, jittable solve+subtract step (solve on the masked pair,
+    apply to the unmasked pair). XLA CSEs the shared basis/spectrum work when
+    masked == unmasked. This is the flagship forward step."""
+
+    def step(I, J, mI, mJ):
+        sol = _solve_impl(cfg, mI, mJ)
+        diff = _subtract_impl(cfg, I, J, sol)
+        return sol, diff
+
+    return step
+
+
+@lru_cache(maxsize=64)
+def _jitted_solve_and_subtract(cfg: SFFTConfig):
+    return jax.jit(solve_and_subtract_fn(cfg))
 
 
 class ElementalSFFT:

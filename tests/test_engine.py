@@ -112,7 +112,7 @@ def test_greek_chunking(rng):
     assert np.allclose(np.asarray(sol1), np.asarray(sol2), rtol=1e-12)
 
 
-@pytest.mark.parametrize("solver", ["lu", "cho", "host", "blocked_cho"])
+@pytest.mark.parametrize("solver", ["lu", "cho", "host", "blocked_cho", "refined"])
 def test_solvers_agree(rng, solver):
     I, J = make_pair(rng)
     sol, _ = ElementalSFFT.ESS(I, J, base_cfg(solver=solver))
