@@ -1,0 +1,90 @@
+"""Post-processing: solution realization, CSZ kits, decorrelation, grid conv."""
+
+import numpy as np
+import pytest
+
+import sfft_tpu  # noqa: F401
+from sfft_tpu.config import SFFTConfig, BasisSpec
+from sfft_tpu.core.engine import ElementalSFFT
+from sfft_tpu.post.fftkits import kernel_csz, kernel_csz_inv, fft_convolve
+from sfft_tpu.post.solution import (
+    RealizeFluxScaling,
+    RealizeMatchingKernel,
+    sfft2standard,
+    standard2sfft,
+    sfft_dict_from_solution,
+)
+from sfft_tpu.post.grid_convolve import grid_convolve_uniform, grid_convolve_labels, make_tile_grid
+from sfft_tpu.utils.convolve import convolve2d
+
+
+def test_csz_roundtrip():
+    rng = np.random.default_rng(0)
+    k = rng.normal(size=(5, 7))
+    kimg = kernel_csz(k, 32, 32)
+    assert kimg.shape == (32, 32)
+    k2, lost = kernel_csz_inv(kimg, 5, 7)
+    np.testing.assert_allclose(k2, k, atol=1e-14)
+    assert lost < 1e-12
+    # center lands at (0, 0)
+    assert kimg[0, 0] == k[2, 3]
+
+
+def test_fft_convolve_matches_direct():
+    rng = np.random.default_rng(1)
+    img = rng.normal(10, 2, (40, 36))
+    k = rng.normal(size=(5, 5))
+    out_fft = np.asarray(fft_convolve(img, k))
+    out_dir = convolve2d(img, k, boundary="fill", fill_value=0.0,
+                         normalize_kernel=False, nan_treatment="fill")
+    np.testing.assert_allclose(out_fft, out_dir, atol=1e-9)
+
+
+def test_basis_conversions_roundtrip():
+    rng = np.random.default_rng(2)
+    c = rng.normal(size=(6, 5, 5))
+    back = standard2sfft(sfft2standard(c, 2, 2), 2, 2)
+    np.testing.assert_allclose(back, c, atol=1e-13)
+
+
+def test_kernel_realization_consistency(rng):
+    """The realized kernel at a point, convolved into I at that point, must
+    reproduce the engine's local model (up to background)."""
+    from tests.test_engine import make_pair, base_cfg
+
+    I, J = make_pair(rng)
+    cfg = base_cfg()
+    sol, _ = ElementalSFFT.ESS(I, J, cfg)
+    sol = np.asarray(sol)
+
+    # flux scaling == kernel sum at the query point
+    q = np.array([[12.0, 10.0]])
+    ker = RealizeMatchingKernel(q).from_solution(sol, cfg)[0]
+    fs = RealizeFluxScaling(q).from_solution(sol, cfg)[0]
+    np.testing.assert_allclose(ker.sum(), fs, rtol=1e-10)
+
+    d = sfft_dict_from_solution(sol, cfg)
+    assert set(d.keys()) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (2, 0)}
+
+
+def test_grid_convolve_uniform_vs_labels():
+    rng = np.random.default_rng(3)
+    img = rng.normal(5, 1, (64, 60))
+    TiHW = 7
+    AllocatedL, XY = make_tile_grid(*img.shape, TiHW)
+    nseg = AllocatedL.max() + 1
+    kers = rng.normal(0.2, 0.05, (nseg, 5, 5)) + 0.5
+    out_u = grid_convolve_uniform(img, kers, TiHW)
+    out_l = grid_convolve_labels(img, AllocatedL, kers)
+    # interiors must match; tile-boundary halos differ only at image borders
+    interior = (slice(8, -8), slice(8, -8))
+    np.testing.assert_allclose(out_u[interior], out_l[interior], rtol=1e-5, atol=1e-7)
+
+
+def test_convolve2d_nan_interpolation():
+    img = np.ones((20, 20)) * 7.0
+    img[10, 10] = np.nan
+    k = np.ones((3, 3)) / 9.0
+    out = convolve2d(img, k, boundary="extend", normalize_kernel=True)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 7.0, rtol=1e-10)
