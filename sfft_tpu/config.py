@@ -54,9 +54,18 @@ class SFFTConfig:
     kernel_basis: BasisSpec = BasisSpec()
     bg_basis: BasisSpec = BasisSpec()
     const_phot_ratio: bool = True
-    # Tikhonov kernel regularization (v2 engine feature); 0.0 disables.
+    # v2 engine: separate flux-scaling spatial basis (reference SCALING_MODE,
+    # sfft/BSplineSFFT.py:49-75). None => ENTANGLED (scaling follows the kernel
+    # basis; const_phot_ratio then picks v1 semantics). A degree-0 spec =>
+    # SEPARATE-CONSTANT; higher degree => SEPARATE-VARYING.
+    scaling_basis: Optional["BasisSpec"] = None
+    # Tikhonov kernel regularization (v2 engine; sfft/BSplineSFFT.py:2010-2168):
+    # lambda = 0.0 disables. reg_xy: static regularization sample points in
+    # FortranCoor; reg_weights: optional per-point weights.
     regularize_lambda: float = 0.0
-    regularize_ignore_bg: bool = True
+    reg_xy: Tuple[Tuple[float, float], ...] = ()
+    reg_weights: Optional[Tuple[float, ...]] = None
+    ignore_laplacian_kercent: bool = True
     # numerics
     dtype: str = "float64"  # 'float64' | 'float32'
     # greek backend: 'fft' (rfft2/irfft2 Hadamard path; needs complex FFT for the
@@ -115,6 +124,37 @@ class SFFTConfig:
     def center_ab(self) -> int:
         # flat index of kernel offset (a, b) == (0, 0) in the (L0, L1) raster
         return self.w0 * self.L1 + self.w1
+
+    @property
+    def scaling_mode(self) -> str:
+        if self.scaling_basis is None:
+            return "ENTANGLED"
+        if self.scaling_basis.degree == 0 and self.scaling_basis.kind == "polynomial":
+            return "SEPARATE-CONSTANT"
+        if (
+            self.scaling_basis.kind == "bspline"
+            and self.scaling_basis.degree == 0
+            and not self.scaling_basis.int_knots_x
+            and not self.scaling_basis.int_knots_y
+        ):
+            return "SEPARATE-CONSTANT"
+        return "SEPARATE-VARYING"
+
+    @property
+    def ScaFij(self) -> int:
+        if self.scaling_basis is None:
+            return self.Fij
+        return self.scaling_basis.num_funcs()
+
+    @property
+    def NEQt(self) -> int:
+        """Tweaked system size (reference NEQt, sfft/BSplineSFFT.py:197-202)."""
+        mode = self.scaling_mode
+        if mode == "ENTANGLED":
+            return self.NEQ - (self.Fij - 1) if self.const_phot_ratio else self.NEQ
+        if mode == "SEPARATE-CONSTANT":
+            return self.NEQ - self.Fij + 1
+        return self.NEQ - (self.Fij - self.ScaFij)
 
     @property
     def NEQ_FSfree(self) -> int:

@@ -1,25 +1,33 @@
 """Normal-equation assembly from correlation tables via static gathers.
 
 Replaces the reference's FillLS_{OMG,GAM,PSI,PHI,THE,DEL} scatter kernels
-(sfft/sfftcore/SFFTConfigure.py:197-688). The reference's four algebraic cases
-per entry (on whether the row/column kernel offset is the center pixel) come
-from the delta-function kernel basis: the basis image for offset (a, b) is
-  shift(I_ij, (a, b)) - I_ij   for (a, b) != 0,
-  I_ij                         for (a, b) == 0.
-Writing row terms as {(shift a8, +1), (id, -1)} (non-center) or {(id, +1)}
-(center) and likewise for columns, every LHMAT entry is
+(sfft/sfftcore/SFFTConfigure.py:197-688) and their SEPARATE-scaling variants
+(OMG11/01/10/00, GAM1/0, PSI1/0, THE1/0; sfft/BSplineSFFT.py:1353-1990).
 
-  sum_{r, c} s_r * s_c * CC[idx, a_r - a_c, b_r - b_c]
+Unifying idea: the delta-function kernel basis makes every basis image either
+  shift(I*beta_ij, (a, b)) - I*beta_ij   (non-center offsets, KERNEL basis)
+  I*sigma_ij                             (center offset, SCALING basis)
+where sigma == beta in ENTANGLED mode. Writing row terms as
+{(shift a8, +1) on beta, (id, -1) on beta} for non-center rows and
+{(id, +1) on sigma} for center rows (likewise columns), every LHMAT entry is a
+signed sum of <= 4 gathers from cross-correlation lag tables of the
+(beta-weighted, sigma-weighted) plane stacks:
 
-— four gathers from the lag tables with sign masks, fully vectorized; no
-scatter, no per-entry control flow. The gather index tables are static numpy
-constants per config, so XLA sees pure gathers.
+  LH = c1_r c1_c Pbb(a8-a) + c1_r c0_c Pbb(a8) + c1_r cs_c Pbs(a8)
+     + c0_r c1_c Pbb(-a)   + c0_r c0_c Pbb(0)  + c0_r cs_c Pbs(0)
+     + cs_r c1_c Psb(-a)   + cs_r c0_c Psb(0)  + cs_r cs_c Pss
+
+with c1 = [offset != center], c0 = -c1, cs = 1 - c1, and Psb the lag-mirror of
+Pbs. Fully vectorized static gathers — no scatter, no per-entry control flow.
+This one code path reproduces all four reference FillLS case tables in both
+ENTANGLED and SEPARATE modes (verified against the dense-design-matrix oracle
+in tests).
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,95 +36,143 @@ from sfft_tpu.config import SFFTConfig
 from sfft_tpu.core.indices import ab_tables
 
 
+class GreekTables(NamedTuple):
+    """Scaled Pre tables (reference PreOMG etc. values).
+
+    Pbb:  (Fij, Fij, 4w0+1, 4w1+1)  CC(I*beta_a, I*beta_b), lag idx l+2w
+    Pbs:  (Fij, Fij, 2w0+1, 2w1+1)  CC(I*beta_a, I*sigma_b) (ENTANGLED: window
+                                    of Pbb)
+    Pss:  (Fij, Fij)                CC(I*sigma_a, I*sigma_b) at lag 0
+    Pgb:  (Fij, Fpq, 2w0+1, 2w1+1)  CC(I*beta_a, T_q)
+    Pgs:  (Fij, Fpq)                CC(I*sigma_a, T_q) at lag 0
+    Ptb:  (Fij, 2w0+1, 2w1+1)       CC(I*beta_a, J)
+    Pts:  (Fij,)                    CC(I*sigma_a, J) at lag 0
+    Pphi: (Fpq, Fpq)                CC(T_p, T_q) at lag 0
+    Pdel: (Fpq,)                    CC(T_p, J) at lag 0
+    """
+
+    Pbb: jnp.ndarray
+    Pbs: jnp.ndarray
+    Pss: jnp.ndarray
+    Pgb: jnp.ndarray
+    Pgs: jnp.ndarray
+    Ptb: jnp.ndarray
+    Pts: jnp.ndarray
+    Pphi: jnp.ndarray
+    Pdel: jnp.ndarray
+
+
 @lru_cache(maxsize=64)
 def _gather_plan(cfg: SFFTConfig):
-    """Static index/sign tables for the assembly gathers."""
     a, b, nz = ab_tables(cfg)
     w0, w1 = cfg.w0, cfg.w1
-    R1o = 4 * w1 + 1  # OMG lag table width
-    r1 = 2 * w1 + 1  # GAM/THE lag table width
+    R1o = 4 * w1 + 1
+    r1 = 2 * w1 + 1
 
-    c1 = nz.astype(np.float64)  # shift-term coefficient
-    c0 = 1.0 - 2.0 * c1  # identity-term coefficient (+1 center, -1 else)
+    c1 = nz.astype(np.float64)
+    c0 = -c1
+    cs = 1.0 - c1
 
-    # OMG: flat indices into (4w0+1)*(4w1+1) lag raster
     def oflat(la, lb):
         return ((la + 2 * w0) * R1o + (lb + 2 * w1)).astype(np.int32)
 
-    omg_cross = oflat(a[:, None] - a[None, :], b[:, None] - b[None, :])  # (Fab, Fab)
-    omg_row = oflat(a, b)  # (Fab,)
-    omg_col = oflat(-a, -b)  # (Fab,)
-    omg_zero = int(oflat(np.zeros(1, np.int64), np.zeros(1, np.int64))[0])
-
-    # GAM/THE: lags a8 in [-w, w]; PSI: lags -a in [-w, w]
     def gflat(la, lb):
         return ((la + w0) * r1 + (lb + w1)).astype(np.int32)
 
-    g_row = gflat(a, b)
-    g_col_neg = gflat(-a, -b)
-    g_zero = int(gflat(np.zeros(1, np.int64), np.zeros(1, np.int64))[0])
-
+    z = np.zeros_like(a)
     return dict(
-        c1=c1, c0=c0,
-        omg_cross=omg_cross, omg_row=omg_row, omg_col=omg_col, omg_zero=omg_zero,
-        g_row=g_row, g_col_neg=g_col_neg, g_zero=g_zero,
+        c1=c1, c0=c0, cs=cs,
+        omg_cross=oflat(a[:, None] - a[None, :], b[:, None] - b[None, :]),
+        omg_row=oflat(a, b), omg_col=oflat(-a, -b),
+        omg_zero=int(oflat(z[:1], z[:1])[0]),
+        g_row=gflat(a, b), g_col_neg=gflat(-a, -b),
+        g_zero=int(gflat(z[:1], z[:1])[0]),
     )
 
 
-def assemble_system(
+def assemble_system(cfg: SFFTConfig, t: GreekTables) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build (LHMAT, RHb) of the NEQ x NEQ system, identical in value to the
+    reference's FillLS output for the active scaling mode."""
+    p = _gather_plan(cfg)
+    Fij, Fpq, Fab = cfg.Fij, cfg.Fpq, cfg.Fab
+    dt = t.Pbb.dtype
+    c1 = jnp.asarray(p["c1"], dt)
+    c0 = jnp.asarray(p["c0"], dt)
+    cs = jnp.asarray(p["cs"], dt)
+
+    # ---- OMG block -----------------------------------------------------
+    Pbbf = t.Pbb.reshape(Fij, Fij, -1)
+    Pbsf = t.Pbs.reshape(Fij, Fij, -1)
+    bb_cross = Pbbf[:, :, p["omg_cross"]]                 # (F,F,Fab,Fab)
+    bb_row = Pbbf[:, :, p["omg_row"]][:, :, :, None]
+    bb_col = Pbbf[:, :, p["omg_col"]][:, :, None, :]
+    bb_zero = Pbbf[:, :, p["omg_zero"]][:, :, None, None]
+    bs_row = Pbsf[:, :, p["g_row"]][:, :, :, None]        # Pbs(a8) over rows
+    bs_zero = Pbsf[:, :, p["g_zero"]][:, :, None, None]
+    # Psb(-a) = Pbs(a) transposed in plane indices (correlation mirror)
+    sb_colneg = jnp.swapaxes(Pbsf, 0, 1)[:, :, p["g_row"]][:, :, None, :]
+    sb_zero = jnp.swapaxes(Pbsf, 0, 1)[:, :, p["g_zero"]][:, :, None, None]
+    ss = t.Pss[:, :, None, None]
+
+    r1, r0, rs = c1[:, None], c0[:, None], cs[:, None]
+    k1, k0, ks = c1[None, :], c0[None, :], cs[None, :]
+    omg = (
+        r1 * k1 * bb_cross + r1 * k0 * bb_row + r1 * ks * bs_row
+        + r0 * k1 * bb_col + r0 * k0 * bb_zero + r0 * ks * bs_zero
+        + rs * k1 * sb_colneg + rs * k0 * sb_zero + rs * ks * ss
+    )
+    omg = jnp.transpose(omg, (0, 2, 1, 3)).reshape(Fij * Fab, Fij * Fab)
+
+    # ---- GAM block: rows (i8j8, a8b8), cols pq -------------------------
+    Gbf = t.Pgb.reshape(Fij, Fpq, -1)
+    gam = (
+        c1[None, None, :] * Gbf[:, :, p["g_row"]]
+        + c0[None, None, :] * Gbf[:, :, p["g_zero"]][:, :, None]
+        + cs[None, None, :] * t.Pgs[:, :, None]
+    )
+    gam = jnp.transpose(gam, (0, 2, 1)).reshape(Fij * Fab, Fpq)
+
+    # ---- PSI block: rows pq, cols (ij, ab). CC(T, I*beta)[-a] == Pgb(a);
+    # CC(T, I*sigma)[0] == Pgs. ------------------------------------------
+    psi = (
+        c1[None, None, :] * Gbf[:, :, p["g_row"]]
+        + c0[None, None, :] * Gbf[:, :, p["g_zero"]][:, :, None]
+        + cs[None, None, :] * t.Pgs[:, :, None]
+    )
+    psi = jnp.transpose(psi, (1, 0, 2)).reshape(Fpq, Fij * Fab)
+
+    # ---- THE / DEL RHS -------------------------------------------------
+    Tbf = t.Ptb.reshape(Fij, -1)
+    the = (
+        c1[None, :] * Tbf[:, p["g_row"]]
+        + c0[None, :] * Tbf[:, p["g_zero"]][:, None]
+        + cs[None, :] * t.Pts[:, None]
+    )
+    the = the.reshape(Fij * Fab)
+
+    lhs = jnp.block([[omg, gam], [psi, t.Pphi]])
+    rhs = jnp.concatenate([the, t.Pdel])
+    return lhs, rhs
+
+
+def entangled_tables(
     cfg: SFFTConfig,
     Comg: jnp.ndarray,
     Cgam: jnp.ndarray,
     Cthe: jnp.ndarray,
     Cphi: jnp.ndarray,
     Cdel: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Build (LHMAT, RHb) of the NEQ x NEQ normal equations.
-
-    Inputs are the *scaled* Pre tables (engine applies SCALE powers), matching
-    the reference's PreOMG/PreGAM/PrePSI/PrePHI/PreTHE/PreDEL values so the
-    resulting system is identical to sfft/sfftcore/SFFTSubtract.py:616-729.
-    The PSI block is derived from the GAM table by the correlation mirror
-    identity CC(T, I)[d] = CC(I, T)[-d] (equal scale factors), halving the work.
-    """
-    p = _gather_plan(cfg)
-    Fij, Fpq, Fab = cfg.Fij, cfg.Fpq, cfg.Fab
-    dt = Comg.dtype
-    c1 = jnp.asarray(p["c1"], dt)
-    c0 = jnp.asarray(p["c0"], dt)
-
-    # ---- OMG block: (Fij*Fab, Fij*Fab) -------------------------------
-    Pf = Comg.reshape(Fij, Fij, -1)
-    t_cross = Pf[:, :, p["omg_cross"]]                # (Fij, Fij, Fab, Fab)
-    t_row = Pf[:, :, p["omg_row"]][:, :, :, None]     # (Fij, Fij, Fab, 1)
-    t_col = Pf[:, :, p["omg_col"]][:, :, None, :]     # (Fij, Fij, 1, Fab)
-    t_zero = Pf[:, :, p["omg_zero"]][:, :, None, None]
-    r1c = c1[:, None]
-    r0c = c0[:, None]
-    k1c = c1[None, :]
-    k0c = c0[None, :]
-    omg = r1c * k1c * t_cross + r1c * k0c * t_row + r0c * k1c * t_col + r0c * k0c * t_zero
-    # rows are (i8j8, a8b8), cols are (ij, ab)
-    omg = jnp.transpose(omg, (0, 2, 1, 3)).reshape(Fij * Fab, Fij * Fab)
-
-    # ---- GAM block: (Fij*Fab, Fpq) ------------------------------------
-    Gf = Cgam.reshape(Fij, Fpq, -1)
-    g_row = Gf[:, :, p["g_row"]]                      # (Fij, Fpq, Fab)
-    g_zero = Gf[:, :, p["g_zero"]][:, :, None]
-    gam = c1[None, None, :] * g_row + c0[None, None, :] * g_zero
-    gam = jnp.transpose(gam, (0, 2, 1)).reshape(Fij * Fab, Fpq)
-
-    # ---- PSI block: (Fpq, Fij*Fab) — mirror of GAM --------------------
-    # PrePSI[pq, ij, d] = PreGAM[ij, pq, -d]; the assembly needs lags -a (and 0).
-    s_col = Gf[:, :, p["g_row"]]                      # GAM at +a == PSI at -a
-    psi = c1[None, None, :] * s_col + c0[None, None, :] * g_zero
-    psi = jnp.transpose(psi, (1, 0, 2)).reshape(Fpq, Fij * Fab)
-
-    # ---- THE / DEL RHS -------------------------------------------------
-    Tf = Cthe.reshape(Fij, -1)
-    the = c1[None, :] * Tf[:, p["g_row"]] + c0[None, :] * Tf[:, p["g_zero"]][:, None]
-    the = the.reshape(Fij * Fab)
-
-    lhs = jnp.block([[omg, gam], [psi, Cphi]])
-    rhs = jnp.concatenate([the, Cdel])
-    return lhs, rhs
+) -> GreekTables:
+    """Derive the sigma tables from the beta tables when sigma == beta:
+    Pbs is the central +-w window of Pbb; lag-0 entries come from the centers."""
+    w0, w1 = cfg.w0, cfg.w1
+    win0 = slice(w0, 3 * w0 + 1)
+    win1 = slice(w1, 3 * w1 + 1)
+    Pbs = Comg[:, :, win0, win1]
+    Pss = Comg[:, :, 2 * w0, 2 * w1]
+    Pgs = Cgam[:, :, w0, w1]
+    Pts = Cthe[:, w0, w1]
+    return GreekTables(
+        Pbb=Comg, Pbs=Pbs, Pss=Pss, Pgb=Cgam, Pgs=Pgs,
+        Ptb=Cthe, Pts=Pts, Pphi=Cphi, Pdel=Cdel,
+    )

@@ -22,34 +22,69 @@ from sfft_tpu.core.greek import greek_tables
 from sfft_tpu.core.solve import solve_system
 
 
-def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray):
     """SI = I * kernel-basis planes (reference SPixA_Iij); ST = background basis
-    planes (reference SPixA_Tpq). sfft/sfftcore/SFFTConfigure.py:109-145."""
+    planes (reference SPixA_Tpq); SSc = I * scaling-basis planes, zero-padded to
+    Fij, for SEPARATE-VARYING (reference ScaSPixA_Iij)."""
     dt = jnp.dtype(cfg.dtype)
     Bk = basis_planes(cfg.kernel_basis, cfg.N0, cfg.N1, dtype=dt)
     ST = basis_planes(cfg.bg_basis, cfg.N0, cfg.N1, dtype=dt)
     SI = I[None, :, :].astype(dt) * Bk
-    return SI, ST
+    SSc = None
+    if cfg.scaling_mode == "SEPARATE-VARYING":
+        Bs = basis_planes(cfg.scaling_basis, cfg.N0, cfg.N1, dtype=dt)
+        SSc = I[None, :, :].astype(dt) * Bs
+        if SSc.shape[0] < cfg.Fij:
+            pad = jnp.zeros((cfg.Fij - SSc.shape[0], cfg.N0, cfg.N1), dt)
+            SSc = jnp.concatenate([SSc, pad], axis=0)
+    return SI, ST, SSc
 
 
 def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarray:
+    from sfft_tpu.core.assemble import entangled_tables, GreekTables
+    from sfft_tpu.core.regularize import apply_regularization
+
     dt = jnp.dtype(cfg.dtype)
     mI = mI.astype(dt)
     mJ = mJ.astype(dt)
+    s = cfg.SCALE
+    separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
+
     if cfg.greek_backend == "peeled":
+        if separate_varying:
+            raise NotImplementedError(
+                "peeled backend does not support SEPARATE-VARYING scaling yet"
+            )
         from sfft_tpu.core.peel import peeled_greek_tables
 
         Comg, Cgam, Cthe, Cphi, Cdel = peeled_greek_tables(mI, mJ, cfg)
+        tables = entangled_tables(
+            cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
+        )
     else:
-        SI, ST = _plane_stacks(cfg, mI)
+        SI, ST, SSc = _plane_stacks(cfg, mI)
         Comg, Cgam, Cthe, Cphi, Cdel = greek_tables(
             SI, ST, mJ, cfg.w0, cfg.w1, backend=cfg.greek_backend, chunk=cfg.greek_chunk
         )
-    s = cfg.SCALE
-    # CC -> reference Pre tables (scale derivation in sfft_tpu/core/greek.py)
-    lhs, rhs = assemble_system(
-        cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
-    )
+        tables = entangled_tables(
+            cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
+        )
+        if separate_varying:
+            from sfft_tpu.core.greek import greek_tables_separate
+
+            Pbs, Pss, Pgs, Pts = greek_tables_separate(
+                SI, SSc, ST, mJ, cfg.w0, cfg.w1,
+                backend=cfg.greek_backend, chunk=cfg.greek_chunk,
+            )
+            tables = GreekTables(
+                Pbb=tables.Pbb, Pbs=(s**3) * Pbs, Pss=(s**3) * Pss,
+                Pgb=tables.Pgb, Pgs=(s**2) * Pgs,
+                Ptb=tables.Ptb, Pts=(s**2) * Pts,
+                Pphi=tables.Pphi, Pdel=tables.Pdel,
+            )
+
+    lhs, rhs = assemble_system(cfg, tables)
+    lhs = apply_regularization(cfg, lhs)
     return solve_system(cfg, lhs, rhs)
 
 
@@ -59,8 +94,8 @@ def _subtract_impl(
     dt = jnp.dtype(cfg.dtype)
     I = I.astype(dt)
     J = J.astype(dt)
-    SI, ST = _plane_stacks(cfg, I)
-    return fdiff(cfg, solution.astype(dt), SI, ST, J)
+    SI, ST, SSc = _plane_stacks(cfg, I)
+    return fdiff(cfg, solution.astype(dt), SI, ST, J, SSc)
 
 
 @lru_cache(maxsize=64)

@@ -65,8 +65,15 @@ def fdiff_fft(
     SI: jnp.ndarray,
     ST: jnp.ndarray,
     J: jnp.ndarray,
+    SSc: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Fourier-space difference: D = irfft2(FJ - sum_ij K_ij . FI_ij - sum b FT)."""
+    """Fourier-space difference: D = irfft2(FJ - sum_ij K_ij . FI_ij - sum b FT).
+
+    SSc: scaling-weighted planes (SEPARATE-VARYING); the center-offset dofs
+    apply to them instead of SI (reference Construct_FDIFF SEPARATE-VARYING
+    variant, sfft/BSplineSFFT.py:2430-2528). The non-center kernel spectrum is
+    built center-zeroed; the center contribution is a flat SCALE * a00 factor
+    on the sigma planes (equivalent to the reference's per-pixel branch)."""
     N0, N1 = cfg.N0, cfg.N1
     a_ijab, b_pq = split_solution(cfg, solution)
     W0, W1 = _phase_matrices(cfg, half=True)
@@ -80,18 +87,20 @@ def fdiff_fft(
     FI = specs[1 : 1 + cfg.Fij]
     FT = specs[1 + cfg.Fij :]
 
-    A = a_ijab.astype(cdt)
-    # K_ij[u, v] = (W0 @ A_ij @ W1)[u, v]
-    K = jnp.einsum("ua,iab,bv->iuv", W0, A, W1, precision=lax.Precision.HIGHEST)
-    s_ij = jnp.sum(a_ijab, axis=(1, 2))
     a00 = a_ijab[:, cfg.w0, cfg.w1]
-    factor = cfg.SCALE * (K - (s_ij - a00).astype(cdt)[:, None, None])
+    Ap = a_ijab.at[:, cfg.w0, cfg.w1].set(0.0).astype(cdt)
+    # K'_ij[u, v] = (W0 @ A'_ij @ W1)[u, v]  (center-zeroed kernel spectrum)
+    K = jnp.einsum("ua,iab,bv->iuv", W0, Ap, W1, precision=lax.Precision.HIGHEST)
+    s_nc = jnp.sum(a_ijab, axis=(1, 2)) - a00
+    factor = cfg.SCALE * (K - s_nc.astype(cdt)[:, None, None])
 
-    FDIFF = (
-        FJ
-        - jnp.sum(factor * FI, axis=0)
-        - jnp.tensordot(b_pq.astype(cdt), FT, axes=(0, 0))
-    )
+    model = jnp.sum(factor * FI, axis=0) + jnp.tensordot(b_pq.astype(cdt), FT, axes=(0, 0))
+    if SSc is None:
+        model = model + cfg.SCALE * jnp.tensordot(a00.astype(cdt), FI, axes=(0, 0))
+    else:
+        FS = jnp.fft.rfft2(SSc)
+        model = model + cfg.SCALE * jnp.tensordot(a00.astype(cdt), FS, axes=(0, 0))
+    FDIFF = FJ - model
     return jnp.fft.irfft2(FDIFF, s=(N0, N1)).astype(J.dtype)
 
 
@@ -101,10 +110,21 @@ def fdiff_conv(
     SI: jnp.ndarray,
     ST: jnp.ndarray,
     J: jnp.ndarray,
+    SSc: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Real-space circular-convolution difference (complex-free, f64-on-TPU)."""
     a_ijab, b_pq = split_solution(cfg, solution)
-    Astd = standard_kernel_coeffs(cfg, a_ijab)
+    if SSc is not None:
+        # SEPARATE-VARYING: non-center offsets act on SI with an effective
+        # center -(sum - a00); the a00 dofs act flat on the sigma planes.
+        a00 = a_ijab[:, cfg.w0, cfg.w1]
+        Astd = a_ijab.at[:, cfg.w0, cfg.w1].set(
+            -(jnp.sum(a_ijab, axis=(1, 2)) - a00)
+        )
+        extra = cfg.SCALE * jnp.tensordot(a00, SSc, axes=(0, 0))
+    else:
+        Astd = standard_kernel_coeffs(cfg, a_ijab)
+        extra = 0.0
     w0, w1 = cfg.w0, cfg.w1
     # circular convolution: out[x] = sum_ab k[a, b] * in[x - a, y - b]
     # lax.conv computes correlation, so flip the kernel.
@@ -119,15 +139,19 @@ def fdiff_conv(
         feature_group_count=cfg.Fij,
         precision=lax.Precision.HIGHEST,
     )[0]
-    model = cfg.SCALE * jnp.sum(conv, axis=0) + jnp.tensordot(b_pq, ST, axes=(0, 0))
+    model = (
+        cfg.SCALE * jnp.sum(conv, axis=0)
+        + jnp.tensordot(b_pq, ST, axes=(0, 0))
+        + extra
+    )
     return J - model
 
 
-def fdiff(cfg: SFFTConfig, solution, SI, ST, J) -> jnp.ndarray:
+def fdiff(cfg: SFFTConfig, solution, SI, ST, J, SSc=None) -> jnp.ndarray:
     if cfg.fdiff_backend == "fft":
-        return fdiff_fft(cfg, solution, SI, ST, J)
+        return fdiff_fft(cfg, solution, SI, ST, J, SSc)
     if cfg.fdiff_backend == "conv":
-        return fdiff_conv(cfg, solution, SI, ST, J)
+        return fdiff_conv(cfg, solution, SI, ST, J, SSc)
     if cfg.fdiff_backend == "fft32":
         # float32/complex64 compute (the only fast FFT on TPU), float64-held
         # solution. Absolute error ~1e-7 * |J| — far below the pixel noise for
@@ -141,6 +165,7 @@ def fdiff(cfg: SFFTConfig, solution, SI, ST, J) -> jnp.ndarray:
             SI.astype(jnp.float32),
             ST.astype(jnp.float32),
             J.astype(jnp.float32),
+            None if SSc is None else SSc.astype(jnp.float32),
         )
         return out.astype(J.dtype)
     raise ValueError(f"unknown fdiff backend {cfg.fdiff_backend!r}")

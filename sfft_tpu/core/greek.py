@@ -118,6 +118,39 @@ def dot_planes(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def greek_tables_separate(
+    SI: jnp.ndarray,
+    SSc: jnp.ndarray,
+    ST: jnp.ndarray,
+    J: jnp.ndarray,
+    w0: int,
+    w1: int,
+    backend: str = "fft",
+    chunk: int = 0,
+):
+    """Extra correlation tables for SEPARATE-VARYING scaling: the center-offset
+    dofs attach to the sigma-weighted stack SSc = I * sigma_ij (zero-padded to
+    Fij planes; reference ScaSPixA_Iij, sfft/BSplineSFFT.py:2862-2886).
+
+    Returns (Pbs_raw, Pss_raw, Pgs_raw, Pts_raw) unscaled CC tables:
+      Pbs: CC(SI_a, SSc_b) window +-w; Pss: CC(SSc_a, SSc_b)[0];
+      Pgs: CC(SSc_a, T_q)[0]; Pts: CC(SSc_a, J)[0].
+    """
+    N0, N1 = J.shape
+    Pss = dot_planes(SSc, SSc)
+    Pgs = dot_planes(SSc, ST)
+    Pts = dot_planes(SSc, J[None])[:, 0]
+    if backend == "fft":
+        specI = jnp.fft.rfft2(SI)
+        specS = jnp.fft.rfft2(SSc)
+        Pbs = corr_window_fft(specI, specS, N0, N1, w0, w1, chunk=chunk)
+    elif backend == "corr":
+        Pbs = corr_window_conv(SI, SSc, w0, w1)
+    else:
+        raise ValueError(backend)
+    return Pbs, Pss, Pgs, Pts
+
+
 def greek_tables(
     SI: jnp.ndarray,
     ST: jnp.ndarray,

@@ -110,18 +110,59 @@ def _refined_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 3) -> jnp.ndarra
     return x * d
 
 
+def _tweak_plan(cfg: SFFTConfig):
+    """Static tweak indices per scaling mode (reference TweakLS/Restore_Solution,
+    sfft/BSplineSFFT.py:2170-2338).
+
+    Returns (pres_idx, aggregate, ij00):
+      pres_idx: LS indices kept in the tweaked system (None = no tweak)
+      aggregate: True for the B-spline SEPARATE-CONSTANT case, where the key
+        center dof becomes the SUM over all Fij center dofs (the B-spline basis
+        has no constant member, but is a partition of unity, so constant
+        scaling = equal coefficients aggregated into one dof).
+    """
+    from sfft_tpu.core.indices import kernel_sum_dof_index
+
+    ij00 = kernel_sum_dof_index(cfg)
+    mode = cfg.scaling_mode
+    if mode == "ENTANGLED":
+        if not cfg.const_phot_ratio:
+            return None, False, ij00
+        pres = stripe_indices(cfg)
+        return (None if len(pres) == cfg.NEQ else pres), False, ij00
+    if mode == "SEPARATE-CONSTANT":
+        pres = np.setdiff1d(np.arange(cfg.NEQ), ij00[1:]).astype(np.int32)
+        return pres, cfg.kernel_basis.kind == "bspline", ij00
+    # SEPARATE-VARYING
+    if cfg.ScaFij == cfg.Fij:
+        return None, False, ij00
+    pres = np.setdiff1d(np.arange(cfg.NEQ), ij00[cfg.ScaFij :]).astype(np.int32)
+    return pres, False, ij00
+
+
 def solve_system(
     cfg: SFFTConfig, lhs: jnp.ndarray, rhs: jnp.ndarray
 ) -> jnp.ndarray:
-    """Solve, honoring ConstPhotRatio stripe removal. Returns the NEQ-length
-    solution with zeros re-inserted at the forbidden indices."""
-    idx = stripe_indices(cfg)
-    reduced = cfg.const_phot_ratio and len(idx) != cfg.NEQ
+    """Solve, honoring the scaling-mode system tweak. Returns the NEQ-length
+    solution with removed dofs re-inserted (zeros, or the shared constant for
+    aggregated B-spline scaling)."""
+    pres, aggregate, ij00 = _tweak_plan(cfg)
+    reduced = pres is not None
     if reduced:
-        A = lhs[np.ix_(idx, idx)]
-        b = rhs[idx]
+        A = lhs[np.ix_(pres, pres)]
+        b = rhs[pres]
+        if aggregate:
+            key = int(ij00[0])  # pres_idx[key] == key (indices below unchanged)
+            rowsum = jnp.sum(lhs[np.ix_(ij00, pres)], axis=0)
+            colsum = jnp.sum(lhs[np.ix_(pres, ij00)], axis=1)
+            allsum = jnp.sum(lhs[np.ix_(ij00, ij00)])
+            A = A.at[key, :].set(rowsum)
+            A = A.at[:, key].set(colsum)
+            A = A.at[key, key].set(allsum)
+            b = b.at[key].set(jnp.sum(rhs[ij00]))
     else:
         A, b = lhs, rhs
+    idx = pres
 
     if cfg.solver == "lu":
         x = jnp.linalg.solve(A, b)
@@ -141,6 +182,8 @@ def solve_system(
 
     if reduced:
         sol = jnp.zeros((cfg.NEQ,), x.dtype).at[idx].set(x)
+        if aggregate:
+            sol = sol.at[ij00[1:]].set(x[int(ij00[0])])
     else:
         sol = x
     return sol

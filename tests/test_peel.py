@@ -48,7 +48,7 @@ def test_peeled_tables_exact_f64(rng, w):
     t_peel = peeled_greek_tables(jnp.asarray(I), jnp.asarray(J), cfg)
 
     cfg_ref = cfg_for(48, 40, w, "fft")
-    SI, ST = _plane_stacks(cfg_ref, jnp.asarray(I))
+    SI, ST, _ = _plane_stacks(cfg_ref, jnp.asarray(I))
     t_ref = greek_tables(SI, ST, jnp.asarray(J), w, w, backend="fft")
 
     names = ["Comg", "Cgam", "Cthe", "Cphi", "Cdel"]
