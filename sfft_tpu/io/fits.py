@@ -39,6 +39,16 @@ class Header(dict):
         if key not in ("COMMENT", "HISTORY", ""):
             self[key] = value
 
+    def set(self, key: str, value, comment: str = ""):
+        """Update an existing card in place (or append)."""
+        if key in self:
+            self.cards = [
+                (k, value if k == key else v, c) for (k, v, c) in self.cards
+            ]
+            self[key] = value
+        else:
+            self.add(key, value, comment)
+
 
 def _parse_value(raw: str):
     s = raw.strip()
