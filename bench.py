@@ -53,6 +53,11 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/sfft_tpu_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from sfft_tpu.config import make_config
     from sfft_tpu.core.engine import solve_and_subtract_fn
@@ -61,7 +66,7 @@ def main():
     log(f"platform: {platform}, devices: {jax.devices()}")
 
     n = 4096 if platform != "cpu" else 1024
-    cfg = make_config(n, n, 8, dtype="float64", greek_chunk=12)
+    cfg = make_config(n, n, 8, dtype="float64", greek_chunk=0)
     log(f"config: greek={cfg.greek_backend} fdiff={cfg.fdiff_backend} "
         f"solver={cfg.solver} NEQ={cfg.NEQ}")
 

@@ -22,11 +22,11 @@ from sfft_tpu.core.greek import greek_tables
 from sfft_tpu.core.solve import solve_system
 
 
-def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray):
+def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray, dtype=None):
     """SI = I * kernel-basis planes (reference SPixA_Iij); ST = background basis
     planes (reference SPixA_Tpq); SSc = I * scaling-basis planes, zero-padded to
     Fij, for SEPARATE-VARYING (reference ScaSPixA_Iij)."""
-    dt = jnp.dtype(cfg.dtype)
+    dt = jnp.dtype(cfg.dtype) if dtype is None else jnp.dtype(dtype)
     Bk = basis_planes(cfg.kernel_basis, cfg.N0, cfg.N1, dtype=dt)
     ST = basis_planes(cfg.bg_basis, cfg.N0, cfg.N1, dtype=dt)
     SI = I[None, :, :].astype(dt) * Bk
@@ -91,10 +91,13 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
 def _subtract_impl(
     cfg: SFFTConfig, I: jnp.ndarray, J: jnp.ndarray, solution: jnp.ndarray
 ) -> jnp.ndarray:
-    dt = jnp.dtype(cfg.dtype)
+    # fft32: the difference is computed in f32/c64 anyway — build the basis
+    # plane stacks directly in f32 and skip the (expensive on TPU) f64
+    # elementwise products.
+    dt = jnp.dtype("float32" if cfg.fdiff_backend == "fft32" else cfg.dtype)
     I = I.astype(dt)
     J = J.astype(dt)
-    SI, ST, SSc = _plane_stacks(cfg, I)
+    SI, ST, SSc = _plane_stacks(cfg, I, dtype=dt)
     return fdiff(cfg, solution.astype(dt), SI, ST, J, SSc)
 
 

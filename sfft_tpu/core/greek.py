@@ -44,6 +44,25 @@ def _window_row_indices(N: int, w: int) -> np.ndarray:
     return ((-rho) % N).astype(np.int32)
 
 
+def _partial_idft_mats(N0: int, N1: int, wx: int, wy: int, cdtype):
+    """Static matrices for the windowed inverse transform:
+    CC[rho, eps] = Re( E0 @ H_half @ E1 ) with E0[r, u] = exp(2i pi u x_r / N0)
+    / (N0*N1), x_r = (-rho_r) % N0, and E1[v, e] folding the Hermitian half
+    spectrum (weight 2 for interior v; 1 at v = 0 and the Nyquist column)."""
+    rows = _window_row_indices(N0, wx).astype(np.float64)
+    cols = _window_row_indices(N1, wy).astype(np.float64)
+    N1h = N1 // 2 + 1
+    u = np.arange(N0)
+    v = np.arange(N1h)
+    E0 = np.exp(2j * np.pi * np.outer(rows, u) / N0) / (N0 * N1)
+    w = np.full(N1h, 2.0)
+    w[0] = 1.0
+    if N1 % 2 == 0:
+        w[-1] = 1.0
+    E1 = w[:, None] * np.exp(2j * np.pi * np.outer(v, cols) / N1)
+    return E0.astype(cdtype), E1.astype(cdtype)
+
+
 def corr_window_fft(
     specA: jnp.ndarray,
     specB: jnp.ndarray,
@@ -52,13 +71,50 @@ def corr_window_fft(
     wx: int,
     wy: int,
     chunk: int = 0,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """CC(A_a, B_b)[rho, eps] for all pairs, lags |rho|<=wx, |eps|<=wy.
 
     specA: (Fa, N0, N1h) raw rfft2 spectra of A stack; specB likewise (Fb, ...).
     Returns (Fa, Fb, 2*wx+1, 2*wy+1).
+
+    method 'matmul' extracts the lag window via a partial inverse DFT — two
+    complex matmuls per pair instead of a full irfft2 (the window has only
+    (2wx+1)(2wy+1) points out of N0*N1). On TPU this keeps the hot loop on the
+    MXU and never materializes full correlation planes. 'irfft' is the full
+    inverse transform + corner gather (CPU default). 'auto' picks by platform.
     """
     Fa, Fb = specA.shape[0], specB.shape[0]
+    if method == "auto":
+        import jax
+
+        method = "matmul" if jax.default_backend() not in ("cpu",) else "irfft"
+
+    if method == "matmul":
+        E0, E1 = _partial_idft_mats(N0, N1, wx, wy, np.dtype(specA.dtype))
+        E0 = jnp.asarray(E0)
+        E1 = jnp.asarray(E1)
+        ia, ib = np.meshgrid(np.arange(Fa), np.arange(Fb), indexing="ij")
+        ia = ia.ravel()
+        ib = ib.ravel()
+        npairs = Fa * Fb
+
+        specBc = jnp.conj(specB)
+        csize = chunk if chunk else npairs
+        outs = []
+        for k0 in range(0, npairs, csize):
+            sel_a = ia[k0 : k0 + csize]
+            sel_b = ib[k0 : k0 + csize]
+            H = specA[sel_a] * specBc[sel_b]                # (c, N0, N1h)
+            T1 = jnp.einsum("cuv,ve->cue", H, E1,
+                            precision=lax.Precision.HIGHEST)  # (c, N0, R1)
+            outs.append(jnp.real(
+                jnp.einsum("ru,cue->cre", E0, T1,
+                           precision=lax.Precision.HIGHEST)
+            ))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out.reshape(Fa, Fb, 2 * wx + 1, 2 * wy + 1)
+
     rows = _window_row_indices(N0, wx)
     cols = _window_row_indices(N1, wy)
     H = specA[:, None, :, :] * jnp.conj(specB)[None, :, :, :]

@@ -97,3 +97,20 @@ def test_peel_degree_invariance(rng):
         sols.append(np.asarray(sol))
     assert np.allclose(sols[0], sols[1], rtol=1e-6, atol=1e-7 * np.abs(sols[0]).max())
     assert np.allclose(sols[0], sols[2], rtol=1e-6, atol=1e-7 * np.abs(sols[0]).max())
+
+
+def test_corr_window_matmul_equals_irfft(rng):
+    """Partial-iDFT window extraction must match the full irfft2 + gather."""
+    import jax.numpy as jnp
+    from sfft_tpu.core.greek import corr_window_fft
+
+    A = rng.normal(10, 3, (4, 48, 40))
+    spec = jnp.fft.rfft2(jnp.asarray(A))
+    out_ir = corr_window_fft(spec, spec, 48, 40, 5, 4, method="irfft")
+    out_mm = corr_window_fft(spec, spec, 48, 40, 5, 4, method="matmul")
+    np.testing.assert_allclose(np.asarray(out_mm), np.asarray(out_ir),
+                               rtol=1e-10, atol=1e-8)
+    out_mm_c = corr_window_fft(spec, spec, 48, 40, 5, 4, method="matmul",
+                               chunk=5)
+    np.testing.assert_allclose(np.asarray(out_mm_c), np.asarray(out_ir),
+                               rtol=1e-10, atol=1e-8)
