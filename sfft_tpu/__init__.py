@@ -37,6 +37,32 @@ from sfft_tpu.api.customized import CustomizedPacket, PureJAXCustomizedPacket  #
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # lazy imports for the heavier pipeline packets
+    if name == "EasySparsePacket":
+        from sfft_tpu.api.easy_sparse import EasySparsePacket
+
+        return EasySparsePacket
+    if name == "EasyCrowdedPacket":
+        from sfft_tpu.api.easy_crowded import EasyCrowdedPacket
+
+        return EasyCrowdedPacket
+    if name == "BSplinePacket":
+        from sfft_tpu.api.bspline import BSplinePacket
+
+        return BSplinePacket
+    if name == "MultiEasySparsePacket":
+        from sfft_tpu.parallel.scheduler import MultiEasySparsePacket
+
+        return MultiEasySparsePacket
+    if name == "MultiEasyCrowdedPacket":
+        from sfft_tpu.parallel.scheduler import MultiEasyCrowdedPacket
+
+        return MultiEasyCrowdedPacket
+    raise AttributeError(name)
+
+
 __all__ = [
     "SFFTConfig",
     "make_config",
@@ -46,4 +72,9 @@ __all__ = [
     "general_subtract",
     "CustomizedPacket",
     "PureJAXCustomizedPacket",
+    "EasySparsePacket",
+    "EasyCrowdedPacket",
+    "BSplinePacket",
+    "MultiEasySparsePacket",
+    "MultiEasyCrowdedPacket",
 ]

@@ -93,3 +93,35 @@ def test_multiproc_threading_map():
     out = MultiProc.MP(list(range(20)), lambda t: t * t, nproc=4,
                        mode="threading")
     assert out == {t: t * t for t in range(20)}
+
+
+def test_sharded_fft2_matches_local():
+    rng = np.random.default_rng(5)
+    import jax.numpy as jnp
+    from sfft_tpu.parallel.batch import make_data_mesh
+    from sfft_tpu.parallel.sharded_fft import sharded_fft2
+
+    mesh = make_data_mesh(8)
+    x = rng.normal(size=(64, 48)) + 1j * rng.normal(size=(64, 48))
+    out = sharded_fft2(jnp.asarray(x), mesh)
+    ref = np.fft.fft2(x)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10, atol=1e-8)
+
+
+def test_sharded_subtract_step():
+    rng = np.random.default_rng(6)
+    from sfft_tpu.parallel.batch import make_data_mesh
+    from sfft_tpu.parallel.sharded_fft import sharded_subtract_step
+    from tests.test_engine import make_pair, base_cfg
+    from sfft_tpu.core.engine import ElementalSFFT
+
+    mesh = make_data_mesh(8)
+    cfg = base_cfg(N0=64, N1=64, w=1)
+    I, J = make_pair(rng, N0=64, N1=64)
+    run = sharded_subtract_step(cfg, mesh)
+    sol, diff = run(I, J, I, J)
+    sol_ref, diff_ref = ElementalSFFT.ESS(I, J, cfg, Subtract=True)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(diff), np.asarray(diff_ref),
+                               rtol=1e-7, atol=1e-9)
