@@ -43,12 +43,21 @@ def grid_convolve_uniform(
     TiHW: int,
     nan_fill_value: float = 0.0,
     normalize_kernel: bool = True,
+    use_fft: Optional[bool] = None,
 ) -> np.ndarray:
-    """Spatially-varying convolution on a uniform tile grid as one batched
-    lax.conv. ker_stack: (Nseg, L0, L1) with Nseg = ntx * nty raster tiles
-    (the make_tile_grid ordering). Border tiles may be smaller than TiN; they
-    are handled by padding the image up to a full tile multiple (zero fill —
-    matching the reference's boundary='fill' cutout convolution)."""
+    """Spatially-varying convolution on a uniform tile grid, fully batched.
+
+    ker_stack: (Nseg, L0, L1) with Nseg = ntx * nty raster tiles (the
+    make_tile_grid ordering). Border tiles may be smaller than TiN; they are
+    handled by padding the image to a full tile multiple (zero fill — matching
+    the reference's boundary='fill' cutout convolution).
+
+    Two batched paths (vs. the reference's per-tile python loops):
+      direct — ONE grouped lax.conv over the halo-tile stack (small kernels)
+      fft    — ONE batched rfft2 convolution over zero-padded halo tiles
+               (large kernels, e.g. 400-px decorrelation kernels)
+    use_fft=None picks by kernel area.
+    """
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
@@ -60,6 +69,8 @@ def grid_convolve_uniform(
     ntx = -(-N0 // TiN)
     nty = -(-N1 // TiN)
     assert Nseg == ntx * nty
+    if use_fft is None:
+        use_fft = (L0 * L1) > 33 * 33
 
     img = np.where(np.isfinite(image), image, nan_fill_value)
     kers = np.asarray(ker_stack, dtype=np.float64)
@@ -73,7 +84,6 @@ def grid_convolve_uniform(
 
     dt = jnp.float32 if jax.default_backend() not in ("cpu", "gpu") else jnp.float64
     imgj = jnp.asarray(imgp, dt)
-    kerj = jnp.asarray(kers[:, ::-1, ::-1], dt)  # conv = correlate with flip
 
     # extract halo tiles: (Nseg, TiN + 2w0, TiN + 2w1)
     def tile(idx):
@@ -84,19 +94,37 @@ def grid_convolve_uniform(
         )
 
     tiles = jax.vmap(tile)(jnp.arange(Nseg))
-    out = lax.conv_general_dilated(
-        tiles[:, None],          # (Nseg, 1, H, W)
-        kerj[:, None],           # (Nseg, 1, L0, L1)
-        (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=1,
-        batch_group_count=Nseg,
-        precision=lax.Precision.HIGHEST,
-    )
-    # out: (1, Nseg, TiN, TiN) — one kernel per tile via batch groups
-    tiles_out = out[0]
+
+    if use_fft:
+        # batched circular FFT conv on zero-padded tiles: the halo already
+        # contains the real data the kernel can reach, and the outer zero pad
+        # prevents wrap-around, so the VALID center equals the direct conv
+        E0, E1 = TiN + 2 * w0, TiN + 2 * w1
+        F0 = int(2 ** np.ceil(np.log2(E0 + L0 - 1)))
+        F1 = int(2 ** np.ceil(np.log2(E1 + L1 - 1)))
+        kimg = np.zeros((Nseg, F0, F1))
+        kimg[:, :L0, :L1] = kers
+        kimg = np.roll(np.roll(kimg, -w0, axis=1), -w1, axis=2)  # CSZ
+        tilesp = jnp.zeros((Nseg, F0, F1), dt).at[:, :E0, :E1].set(tiles)
+        spec = jnp.fft.rfft2(tilesp) * jnp.fft.rfft2(jnp.asarray(kimg, dt))
+        conv = jnp.fft.irfft2(spec, s=(F0, F1))
+        tiles_out = conv[:, w0 : w0 + TiN, w1 : w1 + TiN]
+    else:
+        kerj = jnp.asarray(kers[:, ::-1, ::-1], dt)  # conv = corr with flip
+        out = lax.conv_general_dilated(
+            tiles[:, None],          # (Nseg, 1, H, W)
+            kerj[:, None],           # (Nseg, 1, L0, L1)
+            (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=1,
+            batch_group_count=Nseg,
+            precision=lax.Precision.HIGHEST,
+        )
+        # out: (1, Nseg, TiN, TiN) — one kernel per tile via batch groups
+        tiles_out = out[0]
+
     stitched = tiles_out.reshape(ntx, nty, TiN, TiN).transpose(0, 2, 1, 3).reshape(P0, P1)
-    return np.asarray(stitched[:N0, :N1], dtype=np.float64)
+    return np.array(stitched[:N0, :N1], dtype=np.float64)
 
 
 def grid_convolve_labels(

@@ -88,3 +88,16 @@ def test_convolve2d_nan_interpolation():
     out = convolve2d(img, k, boundary="extend", normalize_kernel=True)
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, 7.0, rtol=1e-10)
+
+
+def test_grid_convolve_fft_equals_direct():
+    rng = np.random.default_rng(9)
+    img = rng.normal(5, 1, (64, 60))
+    TiHW = 7
+    nseg = (64 // 15 + 1) * (60 // 15 + 1)
+    AllocatedL, _ = make_tile_grid(64, 60, TiHW)
+    nseg = AllocatedL.max() + 1
+    kers = rng.normal(0.2, 0.05, (nseg, 5, 5)) + 0.5
+    out_d = grid_convolve_uniform(img, kers, TiHW, use_fft=False)
+    out_f = grid_convolve_uniform(img, kers, TiHW, use_fft=True)
+    np.testing.assert_allclose(out_f, out_d, rtol=1e-9, atol=1e-9)
