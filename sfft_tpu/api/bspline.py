@@ -74,9 +74,17 @@ def make_bspline_config(
     import jax
 
     if jax.default_backend() not in ("cpu", "gpu"):
-        defaults = dict(greek_backend="fft", fdiff_backend="fft32", solver="refined")
-        # B-spline bases cannot use the peeled f64 path yet; the fft path runs
-        # in the configured dtype (float32 recommended on TPU for B-spline).
+        # On TPU complex128 FFT is unavailable and the peeled exact-f64 path
+        # needs polynomial shift closure. Polynomial-basis configs use it;
+        # any B-spline basis falls back to f32-compute Greek tables
+        # (validated against f64 on the NIRCam data; see DESIGN.md).
+        poly_only = (kernel_basis.kind == "polynomial"
+                     and bg_basis.kind == "polynomial"
+                     and (scaling_basis is None))
+        defaults = dict(
+            greek_backend="peeled" if poly_only else "fft32",
+            fdiff_backend="fft32", solver="refined",
+        )
     defaults.update(engine_kwargs)
     return SFFTConfig(
         N0=int(N0), N1=int(N1), w0=int(GKerHW), w1=int(GKerHW),

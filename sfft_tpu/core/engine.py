@@ -85,7 +85,10 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
 
     lhs, rhs = assemble_system(cfg, tables)
     lhs = apply_regularization(cfg, lhs)
-    return solve_system(cfg, lhs, rhs)
+    # fft32 assembly path: the matrix is f32-accurate, so the whole solve runs
+    # in f32 (avoids any f64 NEQ^2 buffer — at 13k dof that is the difference
+    # between fitting in HBM or not); only the solution is returned in f64.
+    return solve_system(cfg, lhs, rhs).astype(dt)
 
 
 def _subtract_impl(

@@ -196,7 +196,14 @@ def greek_tables_separate(
     Pss = dot_planes(SSc, SSc)
     Pgs = dot_planes(SSc, ST)
     Pts = dot_planes(SSc, J[None])[:, 0]
-    if backend == "fft":
+    if backend == "fft32":
+        specI = jnp.fft.rfft2(SI.astype(jnp.float32))
+        specS = jnp.fft.rfft2(SSc.astype(jnp.float32))
+        Pbs = corr_window_fft(specI, specS, N0, N1, w0, w1, chunk=chunk)
+        Pss = Pss.astype(jnp.float32)
+        Pgs = Pgs.astype(jnp.float32)
+        Pts = Pts.astype(jnp.float32)
+    elif backend == "fft":
         specI = jnp.fft.rfft2(SI)
         specS = jnp.fft.rfft2(SSc)
         Pbs = corr_window_fft(specI, specS, N0, N1, w0, w1, chunk=chunk)
@@ -234,6 +241,20 @@ def greek_tables(
     # Lag-zero blocks are plain inner products — never worth an FFT.
     Cphi = dot_planes(ST, ST)
     Cdel = dot_planes(ST, J[None])[:, 0]
+
+    if backend == "fft32":
+        # f32 compute with f64 accumulation of the tables: the TPU route for
+        # non-polynomial bases (complex128 FFT unavailable; the peeled exact
+        # path requires polynomial shift closure). Adequate for sky-subtracted
+        # data where correlations are fluctuation-dominated; the f64 'fft'
+        # CPU path remains the parity oracle.
+        # tables stay f32 (assembly runs in f32 too — halves the peak HBM for
+        # the (Fij^2, Fab^2) assembly temporaries; the engine casts the final
+        # assembled system to f64 for the solve)
+        out32 = greek_tables(SI.astype(jnp.float32), ST.astype(jnp.float32),
+                             J.astype(jnp.float32), w0, w1,
+                             backend="fft", chunk=chunk)
+        return out32[:3] + (Cphi.astype(jnp.float32), Cdel.astype(jnp.float32))
 
     if backend == "fft":
         stack = jnp.concatenate([J[None], SI, ST], axis=0)

@@ -94,20 +94,60 @@ def _refined_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 3) -> jnp.ndarra
     tames the wildly different column scales of the SFFT system (polynomial
     coordinate powers), then each refinement step recovers ~7 digits until the
     f64 residual floor. Converges when cond(D A D) * eps32 << 1."""
-    d = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)) + 1e-300)
+    d = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)) + jnp.finfo(A.dtype).tiny)
     As = A * d[:, None] * d[None, :]
     bs = b * d
     A32 = As.astype(jnp.float32)
-    lu, piv = jax.scipy.linalg.lu_factor(A32)
+    if A.dtype == jnp.float32:
+        As = A32  # f32-assembled system: residuals can't beat f32 anyway
+    if A.shape[0] >= 8192:
+        # XLA's f32 LU panel blows the 16MB scoped-VMEM limit above ~10k on
+        # v5e; the system is a (regularized) Gram matrix, so Cholesky is valid
+        L32 = jnp.linalg.cholesky(A32)
 
-    def f32_solve(r):
-        return jax.scipy.linalg.lu_solve((lu, piv), r.astype(jnp.float32)).astype(b.dtype)
+        def f32_solve(r):
+            y = jax.scipy.linalg.solve_triangular(L32, r.astype(jnp.float32),
+                                                  lower=True)
+            return jax.scipy.linalg.solve_triangular(
+                L32.T, y, lower=False).astype(b.dtype)
+    else:
+        lu, piv = jax.scipy.linalg.lu_factor(A32)
+
+        def f32_solve(r):
+            return jax.scipy.linalg.lu_solve(
+                (lu, piv), r.astype(jnp.float32)).astype(b.dtype)
 
     x = f32_solve(bs)
     for _ in range(iters):
         r = bs - As @ x
         x = x + f32_solve(r)
     return x * d
+
+
+def _contig_segments(idx: np.ndarray):
+    """Split a sorted index array into contiguous [start, stop) segments."""
+    segs = []
+    start = prev = int(idx[0])
+    for v in idx[1:]:
+        v = int(v)
+        if v == prev + 1:
+            prev = v
+            continue
+        segs.append((start, prev + 1))
+        start = prev = v
+    segs.append((start, prev + 1))
+    return segs
+
+
+def _select_rows_cols(M: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
+    """M[ix_(idx, idx)] via contiguous slice concatenation.
+
+    The tweak removes only a handful of dofs, so idx is a few contiguous runs;
+    slicing+concat lowers to bulk copies, where a 1.7e8-element fancy gather
+    costs seconds on TPU."""
+    segs = _contig_segments(np.asarray(idx))
+    rows = jnp.concatenate([M[a:b, :] for a, b in segs], axis=0)
+    return jnp.concatenate([rows[:, a:b] for a, b in segs], axis=1)
 
 
 def _tweak_plan(cfg: SFFTConfig):
@@ -149,7 +189,7 @@ def solve_system(
     pres, aggregate, ij00 = _tweak_plan(cfg)
     reduced = pres is not None
     if reduced:
-        A = lhs[np.ix_(pres, pres)]
+        A = _select_rows_cols(lhs, pres)
         b = rhs[pres]
         if aggregate:
             key = int(ij00[0])  # pres_idx[key] == key (indices below unchanged)
