@@ -347,9 +347,16 @@ def peeled_greek_tables(
     I = I.astype(dt)
     J = J.astype(dt)
 
-    # --- exact moment sets of raw images (both windows) ----------------
+    # --- exact moment sets of raw images ------------------------------
     momI_o = moment_set(I, N0, N1, 2 * w0, 2 * w1, SG, ax0o, ax1o)
-    momI_g = moment_set(I, N0, N1, w0, w1, SG, ax0g, ax1g)
+    # the +-w window set is a central slice of the +-2w one (full moments are
+    # window-independent; strips/corners at depth <= w are a subset)
+    momI_g = MomentSet(
+        M=momI_o.M,
+        RS=momI_o.RS[w0 : 3 * w0 + 1],
+        CS=momI_o.CS[w1 : 3 * w1 + 1],
+        CNR=momI_o.CNR[w0 : 3 * w0 + 1, w1 : 3 * w1 + 1],
+    )
     momJ_g = moment_set(J, N0, N1, w0, w1, SG, ax0g, ax1g)
 
     # --- polynomial peels ----------------------------------------------
@@ -408,7 +415,7 @@ def peeled_greek_tables(
     specJ = specs[0:1]
     specF = specs[1:]
     FF = corr_window_fft(specF, specF, N0, N1, 2 * w0, 2 * w1,
-                         chunk=cfg.greek_chunk).astype(dt)
+                         chunk=cfg.greek_chunk, symmetric=True).astype(dt)
     Comg = SS + SF + FS + FF
 
     # --- GAM: (Fij, Fpq, R0g, R1g) — fully exact ------------------------
