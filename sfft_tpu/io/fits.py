@@ -139,23 +139,181 @@ def _read_hdu(f):
         bitpix = int(hdr["BITPIX"])
         dt = _BITPIX_DTYPE[bitpix]
         nbytes = int(np.prod(shape)) * dt.itemsize
-        raw = f.read(nbytes)
-        if len(raw) < nbytes:
+        # binary tables carry a heap of PCOUNT bytes after the main data
+        heap_bytes = int(hdr.get("PCOUNT", 0) or 0)
+        raw = f.read(nbytes + heap_bytes)
+        if len(raw) < nbytes + heap_bytes:
             raise IOError("truncated FITS data")
-        # skip padding to block boundary
-        pad = (-nbytes) % BLOCK
+        pad = (-(nbytes + heap_bytes)) % BLOCK
         f.seek(pad, os.SEEK_CUR)
-        data = np.frombuffer(raw, dtype=dt).reshape(shape)
-        bscale = hdr.get("BSCALE", 1)
-        bzero = hdr.get("BZERO", 0)
-        if bscale != 1 or bzero != 0:
-            data = data.astype(np.float64) * bscale + bzero
+        if hdr.get("ZIMAGE") is True:
+            data = _decompress_tiled_image(hdr, raw[:nbytes], raw[nbytes:])
         else:
-            data = data.astype(dt.newbyteorder("="))
-    else:
-        # still consume (possibly zero-length) data segment
-        pass
+            data = np.frombuffer(raw[:nbytes], dtype=dt).reshape(shape)
+            bscale = hdr.get("BSCALE", 1)
+            bzero = hdr.get("BZERO", 0)
+            if bscale != 1 or bzero != 0:
+                data = data.astype(np.float64) * bscale + bzero
+            else:
+                data = data.astype(dt.newbyteorder("="))
     return hdr, data
+
+
+_TFORM_SIZES = {"L": 1, "X": 0, "B": 1, "I": 2, "J": 4, "K": 8,
+                "A": 1, "E": 4, "D": 8, "C": 8, "M": 16, "P": 8, "Q": 16}
+
+
+def _parse_tform(tform: str):
+    """Returns (repeat, typecode, bytesize)."""
+    import re
+
+    m = re.match(r"(\d*)([LXBIJKAEDCMPQ])", tform.strip())
+    rep = int(m.group(1)) if m.group(1) else 1
+    code = m.group(2)
+    return rep, code, rep * _TFORM_SIZES[code]
+
+
+def _fits_rand_values():
+    """CFITSIO fits_init_randoms sequence (10000 uniform values)."""
+    a, m = 16807.0, 2147483647.0
+    seed = 1.0
+    vals = np.empty(10000)
+    for i in range(10000):
+        temp = a * seed
+        seed = temp - m * int(temp / m)
+        vals[i] = seed / m
+    return vals
+
+
+_RAND_CACHE = {}
+
+
+def _decompress_tiled_image(hdr: "Header", table: bytes, heap: bytes) -> np.ndarray:
+    """Decompress a tiled-compressed image extension (fpack).
+
+    Supports RICE_1 (BYTEPIX 4) and GZIP_1 codecs, NO_DITHER /
+    SUBTRACTIVE_DITHER_1 quantization (CFITSIO conventions).
+    """
+    from sfft_tpu import native
+
+    zbitpix = int(hdr["ZBITPIX"])
+    znaxis = int(hdr["ZNAXIS"])
+    zdims = [int(hdr[f"ZNAXIS{k}"]) for k in range(1, znaxis + 1)]  # (x, y)
+    tile = [int(hdr.get(f"ZTILE{k}", zdims[0] if k == 1 else 1) or 1)
+            for k in range(1, znaxis + 1)]
+    cmptype = str(hdr.get("ZCMPTYPE", "RICE_1")).strip()
+    quantiz = str(hdr.get("ZQUANTIZ", "NO_DITHER")).strip()
+    dither0 = int(hdr.get("ZDITHER0", 0) or 0)
+    blocksize = 32
+    bytepix = 4
+    for k in range(1, 10):
+        name = hdr.get(f"ZNAME{k}")
+        if name is None:
+            break
+        if str(name).strip() == "BLOCKSIZE":
+            blocksize = int(hdr[f"ZVAL{k}"])
+        if str(name).strip() == "BYTEPIX":
+            bytepix = int(hdr[f"ZVAL{k}"])
+
+    nrows = int(hdr["NAXIS2"])
+    rowlen = int(hdr["NAXIS1"])
+    tfields = int(hdr["TFIELDS"])
+    offsets = []
+    pos = 0
+    cols = {}
+    for k in range(1, tfields + 1):
+        tform = str(hdr[f"TFORM{k}"])
+        ttype = str(hdr.get(f"TTYPE{k}", "")).strip()
+        rep, code, size = _parse_tform(tform)
+        cols[ttype] = (pos, rep, code)
+        pos += size
+    tab = np.frombuffer(table, dtype=np.uint8).reshape(nrows, rowlen)
+
+    def col_desc(name):
+        off, rep, code = cols[name]
+        if code == "P":  # variable-length descriptor: (nelem, heap offset)
+            d = tab[:, off : off + 8].tobytes()
+            arr = np.frombuffer(d, dtype=">i4").reshape(nrows, 2)
+            return arr
+        if code == "D":
+            d = tab[:, off : off + 8].tobytes()
+            return np.frombuffer(d, dtype=">f8")
+        raise ValueError(code)
+
+    desc = col_desc("COMPRESSED_DATA")
+    zscale = col_desc("ZSCALE") if "ZSCALE" in cols else np.ones(nrows)
+    zzero = col_desc("ZZERO") if "ZZERO" in cols else np.zeros(nrows)
+
+    # tile raster: ZTILE1 across x (fastest), etc.
+    ntiles = []
+    for d, t in zip(zdims, tile):
+        ntiles.append(-(-d // t))
+    npix_tile_full = int(np.prod(tile))
+
+    if "SUBTRACTIVE_DITHER" in quantiz:
+        if "seq" not in _RAND_CACHE:
+            _RAND_CACHE["seq"] = _fits_rand_values()
+        rand = _RAND_CACHE["seq"]
+    else:
+        rand = None
+
+    out = np.zeros(list(reversed(zdims)), dtype=np.float64)  # (y, x)
+    NULL32 = -2147483647
+    for n in range(nrows):
+        nelem, hoff = int(desc[n, 0]), int(desc[n, 1])
+        stream = heap[hoff : hoff + nelem]
+        # tile extents (handle ragged edge tiles)
+        tx = n % ntiles[0]
+        ty = (n // ntiles[0]) % (ntiles[1] if znaxis > 1 else 1)
+        sx = min(tile[0], zdims[0] - tx * tile[0])
+        sy = min(tile[1], zdims[1] - ty * tile[1]) if znaxis > 1 else 1
+        npix = sx * sy
+        if cmptype == "RICE_1":
+            assert bytepix == 4, "only BYTEPIX=4 RICE implemented"
+            ints = native.rice_decode(stream, npix, blocksize)
+        elif cmptype.startswith("GZIP"):
+            import zlib
+
+            rawb = zlib.decompress(stream)
+            ints = np.frombuffer(rawb, dtype=">i4").astype(np.int32)
+        else:
+            raise ValueError(f"unsupported ZCMPTYPE {cmptype!r}")
+
+        if zbitpix < 0:  # quantized float image
+            vals = np.empty(npix, dtype=np.float64)
+            if rand is not None:
+                iseed = (n + dither0 - 1) % 10000
+                nextrand = int(rand[iseed] * 500.0)
+                idx = np.arange(npix)
+                # vectorized walk of the dither sequence
+                seq = np.empty(npix)
+                j = nextrand
+                isd = iseed
+                # the sequence advances by 1 per pixel with block reseed
+                steps = np.arange(npix) + nextrand
+                wraps = steps // 10000
+                if wraps.max() == 0:
+                    seq = rand[(steps) % 10000]
+                else:
+                    # rare: walk explicitly
+                    for t in range(npix):
+                        seq[t] = rand[j]
+                        j += 1
+                        if j == 10000:
+                            isd = (isd + 1) % 10000
+                            j = int(rand[isd] * 500.0)
+                vals = (ints.astype(np.float64) - seq + 0.5) * zscale[n] + zzero[n]
+            else:
+                vals = ints.astype(np.float64) * zscale[n] + zzero[n]
+            vals[ints == NULL32] = np.nan
+        else:
+            vals = ints.astype(np.float64) * zscale[n] + zzero[n]
+
+        block = vals.reshape(sy, sx)
+        y0 = ty * tile[1] if znaxis > 1 else 0
+        x0 = tx * tile[0]
+        out[y0 : y0 + sy, x0 : x0 + sx] = block
+    return out
 
 
 def read(path: str, ext: int = 0) -> Tuple[np.ndarray, Header]:

@@ -103,3 +103,76 @@ def label(mask, connectivity: int = 2):
     structure = np.ones((3, 3)) if connectivity == 2 else None
     lab, n = ndimage.label(m, structure=structure)
     return lab.astype(np.int32), int(n)
+
+
+def rice_decode(data: bytes, npix: int, blocksize: int = 32) -> np.ndarray:
+    """RICE_1 decode (BYTEPIX=4) -> int32[npix]; CFITSIO fits_rdecomp
+    semantics. Pure-python fallback mirrors the C++ implementation."""
+    mod = _try_load()
+    if mod is not None and hasattr(mod, "rice_decode"):
+        return mod.rice_decode(bytes(data), int(npix), int(blocksize))
+    out = np.zeros(npix, dtype=np.int32)
+    fsbits, fsmax, bbits = 5, 25, 32
+    c = np.frombuffer(data, dtype=np.uint8)
+    pos = 4
+    lastpix = int(np.int32(int.from_bytes(data[:4], "big", signed=True)))
+    b = int(c[pos]); pos += 1
+    nbits = 8
+    i = 0
+    n = len(c)
+    def nextbyte():
+        nonlocal pos
+        v = int(c[pos]) if pos < n else 0
+        pos += 1
+        return v
+    while i < npix:
+        nbits -= fsbits
+        while nbits < 0:
+            b = (b << 8) | nextbyte()
+            nbits += 8
+        fs = ((b >> nbits) & ((1 << fsbits) - 1)) - 1
+        b &= (1 << nbits) - 1
+        imax = min(i + blocksize, npix)
+        if fs < 0:
+            out[i:imax] = lastpix
+            i = imax
+        elif fs == fsmax:
+            while i < imax:
+                k = bbits - nbits
+                diff = (b << k) & 0xFFFFFFFF if k < 32 else 0
+                k -= 8
+                while k >= 0:
+                    b = nextbyte()
+                    diff |= b << k
+                    k -= 8
+                if nbits > 0:
+                    b = nextbyte()
+                    diff |= b >> (-k)
+                    b &= (1 << (k + 8)) - 1
+                else:
+                    b = 0
+                d = ~(diff >> 1) if (diff & 1) else (diff >> 1)
+                d = int(np.int32(np.uint32(d & 0xFFFFFFFF)))
+                lastpix = int(np.int32(d + lastpix))
+                out[i] = lastpix
+                i += 1
+        else:
+            while i < imax:
+                while b == 0:
+                    nbits += 8
+                    b = nextbyte()
+                msb = b.bit_length() - 1
+                nzero = nbits - (msb + 1)
+                nbits = msb
+                b &= (1 << nbits) - 1
+                nbits -= fs
+                while nbits < 0:
+                    b = (b << 8) | nextbyte()
+                    nbits += 8
+                diff = (nzero << fs) | (b >> nbits)
+                b &= (1 << nbits) - 1
+                d = ~(diff >> 1) if (diff & 1) else (diff >> 1)
+                lastpix = int(np.int32(d + lastpix))
+                out[i] = lastpix
+                i += 1
+    return out

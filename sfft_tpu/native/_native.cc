@@ -164,11 +164,112 @@ static PyObject *ccl_label(PyObject *self, PyObject *args) {
     return Py_BuildValue("Ni", (PyObject *)labels, nlab);
 }
 
+/* rice_decode(bytes, npix, blocksize) -> int32[npix]
+ * RICE_1 decoder for BYTEPIX=4 (CFITSIO fits_rdecomp semantics). */
+static PyObject *rice_decode(PyObject *self, PyObject *args) {
+    const char *buf;
+    Py_ssize_t buflen;
+    long npix, blocksize;
+    if (!PyArg_ParseTuple(args, "y#ll", &buf, &buflen, &npix, &blocksize))
+        return NULL;
+    npy_intp dims[1] = {npix};
+    PyArrayObject *out = (PyArrayObject *)PyArray_ZEROS(1, dims, NPY_INT32, 0);
+    if (!out) return NULL;
+    int32_t *pout = (int32_t *)PyArray_DATA(out);
+
+    const unsigned char *c = (const unsigned char *)buf;
+    const unsigned char *cend = c + buflen;
+    const int fsbits = 5, fsmax = 25, bbits = 32;
+
+    /* first 4 bytes: initial pixel value, big-endian */
+    if (buflen < 4) {
+        PyErr_SetString(PyExc_ValueError, "rice stream too short");
+        return NULL;
+    }
+    int32_t lastpix = ((int32_t)c[0] << 24) | ((int32_t)c[1] << 16) |
+                      ((int32_t)c[2] << 8) | (int32_t)c[3];
+    c += 4;
+
+    unsigned int b = *c++;  /* bit buffer */
+    int nbits = 8;
+    npy_intp i = 0;
+    while (i < npix) {
+        /* read fsbits for this block */
+        nbits -= fsbits;
+        while (nbits < 0) {
+            b = (b << 8) | (c < cend ? *c++ : 0);
+            nbits += 8;
+        }
+        int fs = (int)((b >> nbits) & ((1 << fsbits) - 1)) - 1;
+        b &= (1U << nbits) - 1;
+        npy_intp imax = i + blocksize;
+        if (imax > npix) imax = npix;
+        if (fs < 0) {
+            for (; i < imax; ++i) pout[i] = lastpix;
+        } else if (fs == fsmax) {
+            /* low-entropy escape: each diff stored as raw 32 bits */
+            for (; i < imax; ++i) {
+                uint32_t diff = 0;
+                int k = bbits - nbits;
+                if (k < 32) diff = (uint32_t)b << k;
+                for (k -= 8; k >= 0; k -= 8) {
+                    b = (c < cend ? *c++ : 0);
+                    diff |= (uint32_t)b << k;
+                }
+                if (nbits > 0) {
+                    b = (c < cend ? *c++ : 0);
+                    diff |= (uint32_t)b >> (-k);
+                    b &= (1U << (k + 8)) - 1;
+                } else {
+                    b = 0;
+                }
+                int32_t d = (diff & 1) ? (int32_t)(~(diff >> 1))
+                                       : (int32_t)(diff >> 1);
+                lastpix = d + lastpix;
+                pout[i] = lastpix;
+            }
+        } else {
+            for (; i < imax; ++i) {
+                /* unary-coded high part: count zeros up to the next 1 bit */
+                while (b == 0) {
+                    if (c >= cend) {
+                        PyErr_SetString(PyExc_ValueError,
+                                        "rice stream exhausted");
+                        Py_DECREF(out);
+                        return NULL;
+                    }
+                    nbits += 8;
+                    b = *c++;
+                }
+                int msb = 31 - __builtin_clz(b); /* position of top set bit */
+                int nzero = nbits - (msb + 1);
+                nbits = msb;          /* zeros + the terminating 1 consumed */
+                b &= (1U << nbits) - 1;
+                /* fs low bits */
+                nbits -= fs;
+                while (nbits < 0) {
+                    b = (b << 8) | (c < cend ? *c++ : 0);
+                    nbits += 8;
+                }
+                uint32_t diff = ((uint32_t)nzero << fs) | (b >> nbits);
+                b &= (1U << nbits) - 1;
+                int32_t d = (diff & 1) ? (int32_t)(~(diff >> 1))
+                                       : (int32_t)(diff >> 1);
+                lastpix = d + lastpix;
+                pout[i] = lastpix;
+            }
+        }
+    }
+    return (PyObject *)out;
+}
+
 static PyMethodDef Methods[] = {
     {"hough_accum", hough_accum, METH_VARARGS,
      "Straight-line Hough accumulator"},
     {"ccl_label", ccl_label, METH_VARARGS,
      "Union-find connected-component labeling"},
+    {"rice_decode", rice_decode, METH_VARARGS,
+     "RICE_1 decoder (BYTEPIX=4)"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_native", NULL,

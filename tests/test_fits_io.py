@@ -53,3 +53,53 @@ def test_read_reference_kernel():
     # match kernels are small and roughly unit-sum
     assert max(data.shape) < 100
     assert 0.1 < np.nansum(data) < 10.0
+
+
+FZ = ("/root/reference/test/subtract_test_crowded_flavor/TESS-Example/"
+      "4check/sfft_diff4check.fits.fz")
+
+
+@pytest.mark.skipif(not os.path.exists(FZ), reason="fz data absent")
+def test_read_fpack_compressed():
+    """RICE_1 + SUBTRACTIVE_DITHER_1 tile-compressed image (fpack)."""
+    data, hdr = fits.read(FZ, ext=1)
+    assert data.shape == (2048, 2048)
+    import numpy as np
+
+    finite = np.isfinite(data)
+    assert finite.mean() > 0.9
+    # a difference image: zero-centered, sane spread
+    assert abs(np.nanmedian(data)) < 0.1
+    assert 0.1 < np.nanstd(data) < 100.0
+
+
+@pytest.mark.skipif(not os.path.exists(FZ), reason="fz data absent")
+def test_rice_native_matches_python_fallback():
+    from sfft_tpu import native
+
+    # grab the first compressed tile stream out of the real file
+    raw = open(FZ, "rb").read()
+    # header of HDU 1 starts at 2880; find table start
+    pos = 2880
+    end = False
+    while not end:
+        block = raw[pos : pos + 2880]
+        pos += 2880
+        for i in range(0, 2880, 80):
+            if block[i : i + 3] == b"END":
+                end = True
+                break
+    table_start = pos
+    desc = np.frombuffer(raw[table_start : table_start + 8], dtype=">i4")
+    nelem, hoff = int(desc[0]), int(desc[1])
+    heap_start = table_start + 24 * 2048
+    stream = raw[heap_start + hoff : heap_start + hoff + nelem]
+
+    out_native = native.rice_decode(stream, 2048, 32)
+    saved = native._native
+    native._native = None
+    try:
+        out_py = native.rice_decode(stream, 2048, 32)
+    finally:
+        native._native = saved
+    np.testing.assert_array_equal(out_native, out_py)
