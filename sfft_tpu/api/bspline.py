@@ -80,7 +80,8 @@ def make_bspline_config(
         # (validated against f64 on the NIRCam data; see DESIGN.md).
         poly_only = (kernel_basis.kind == "polynomial"
                      and bg_basis.kind == "polynomial"
-                     and (scaling_basis is None))
+                     and (scaling_basis is None
+                          or scaling_basis.kind == "polynomial"))
         defaults = dict(
             greek_backend="peeled" if poly_only else "fft32",
             fdiff_backend="fft32", solver="refined",

@@ -51,16 +51,21 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
     separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
 
     if cfg.greek_backend == "peeled":
-        if separate_varying:
-            raise NotImplementedError(
-                "peeled backend does not support SEPARATE-VARYING scaling yet"
-            )
         from sfft_tpu.core.peel import peeled_greek_tables
 
-        Comg, Cgam, Cthe, Cphi, Cdel = peeled_greek_tables(mI, mJ, cfg)
+        out = peeled_greek_tables(mI, mJ, cfg)
+        Comg, Cgam, Cthe, Cphi, Cdel = out[:5]
         tables = entangled_tables(
             cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
         )
+        if separate_varying:
+            Pbs, Pss, Pgs, Pts = out[5]
+            tables = GreekTables(
+                Pbb=tables.Pbb, Pbs=(s**3) * Pbs, Pss=(s**3) * Pss,
+                Pgb=tables.Pgb, Pgs=(s**2) * Pgs,
+                Ptb=tables.Ptb, Pts=(s**2) * Pts,
+                Pphi=tables.Pphi, Pdel=tables.Pdel,
+            )
     else:
         SI, ST, SSc = _plane_stacks(cfg, mI)
         Comg, Cgam, Cthe, Cphi, Cdel = greek_tables(

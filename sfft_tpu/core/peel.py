@@ -325,18 +325,29 @@ def peeled_greek_tables(
     via FFT in cfg fluct dtype."""
     if cfg.kernel_basis.kind != "polynomial" or cfg.bg_basis.kind != "polynomial":
         raise ValueError("peeled backend requires polynomial bases")
+    separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
+    if separate_varying and cfg.scaling_basis.kind != "polynomial":
+        raise ValueError("peeled backend requires a polynomial scaling basis")
     N0, N1, w0, w1 = cfg.N0, cfg.N1, cfg.w0, cfg.w1
     dmu = cfg.peel_degree
     dk = cfg.kernel_basis.degree
+    ds = cfg.scaling_basis.degree if separate_varying else 0
     db = cfg.bg_basis.degree
-    SP = dmu + dk + 1                  # poly-side exponents (S_a = mu * beta_a)
-    SG = SP + max(dk, db)              # moment exponents (F_b = Ftil * beta_b)
+    SP = dmu + max(dk, ds) + 1         # poly-side exponents (S_a = mu * beta_a)
+    SG = SP + max(dk, ds, db)          # moment exponents (F_b = Ftil * beta_b)
     EMAX = 2 * SG + 2
     fd = jnp.dtype(cfg.fluct_dtype)
     dt = jnp.dtype(cfg.dtype)
 
     exps_k = ref_basis_exponents(cfg.kernel_basis)   # (Fij, 2)
     exps_b = ref_basis_exponents(cfg.bg_basis)       # (Fpq, 2)
+    Fk_only = len(exps_k)
+    if separate_varying:
+        # run the whole machinery over the UNION of kernel and scaling basis
+        # functions: the union correlation tables contain the beta-beta,
+        # beta-sigma and sigma-sigma blocks the SEPARATE-VARYING assembly needs
+        exps_s = ref_basis_exponents(cfg.scaling_basis)
+        exps_k = np.concatenate([exps_k, exps_s], axis=0)
     Fij, Fpq = len(exps_k), len(exps_b)
 
     ax0o = axis_static(N0, 2 * w0, SP, EMAX)   # OMG window +-2w
@@ -438,4 +449,25 @@ def peeled_greek_tables(
                    for (i2, j2) in exps_b] for (i1, j1) in exps_b]), dt)
     Cdel = jnp.stack([momJ_g.M[i, j] for (i, j) in exps_b])
 
-    return Comg, Cgam, Cthe, Cphi, Cdel
+    if not separate_varying:
+        return Comg, Cgam, Cthe, Cphi, Cdel
+
+    # --- slice the union tables into the SEPARATE-VARYING blocks --------
+    Fk = Fk_only
+    Fs = Fij - Fk  # actual scaling dof (engine pads placeholders with zeros)
+    win0 = slice(w0, 3 * w0 + 1)
+    win1 = slice(w1, 3 * w1 + 1)
+    Pbs = Comg[:Fk, Fk:, win0, win1]          # CC(I*beta_a, I*sigma_b), +-w
+    Pss = Comg[Fk:, Fk:, 2 * w0, 2 * w1]      # lag 0
+    Pgs = Cgam[Fk:, :, w0, w1]                # CC(I*sigma, T)[0]
+    Pts = Cthe[Fk:, w0, w1]                   # CC(I*sigma, J)[0]
+
+    def pad_k(x, axes):
+        pads = [(0, 0)] * x.ndim
+        for ax in axes:
+            pads[ax] = (0, Fk - Fs)
+        return jnp.pad(x, pads)
+
+    extra = (pad_k(Pbs, [1]), pad_k(Pss, [0, 1]), pad_k(Pgs, [0]),
+             pad_k(Pts, [0]))
+    return Comg[:Fk, :Fk], Cgam[:Fk], Cthe[:Fk], Cphi, Cdel, extra

@@ -114,3 +114,21 @@ def test_corr_window_matmul_equals_irfft(rng):
                                chunk=5)
     np.testing.assert_allclose(np.asarray(out_mm_c), np.asarray(out_ir),
                                rtol=1e-10, atol=1e-8)
+
+
+def test_peeled_separate_varying(rng):
+    """Peeled backend covers SEPARATE-VARYING polynomial scaling exactly."""
+    I, J = make_pair(rng)
+    base = dict(N0=48, N1=40, w0=2, w1=2,
+                kernel_basis=BasisSpec("polynomial", 2),
+                bg_basis=BasisSpec("polynomial", 1),
+                scaling_basis=BasisSpec("polynomial", 1))
+    cfg_ref = SFFTConfig(**base, greek_backend="fft")
+    cfg_peel = SFFTConfig(**base, greek_backend="peeled",
+                          fluct_dtype="float64", peel_degree=3)
+    s_ref, d_ref = ElementalSFFT.ESS(I, J, cfg_ref, Subtract=True)
+    s_peel, d_peel = ElementalSFFT.ESS(I, J, cfg_peel, Subtract=True)
+    s_ref, s_peel = np.asarray(s_ref), np.asarray(s_peel)
+    assert np.allclose(s_peel, s_ref, rtol=1e-6, atol=1e-7 * np.abs(s_ref).max())
+    np.testing.assert_allclose(np.asarray(d_peel), np.asarray(d_ref),
+                               atol=1e-8 * np.abs(np.asarray(d_ref)).max())
