@@ -10,9 +10,12 @@ sfft_tpu/prep/sex.py prefers the real binary when present (bit-exact catalogs)
 and falls back here.
 
 Pipeline: mesh background -> matched-filter detection at DETECT_THRESH sigma
--> 8-connected labeling (native C++ ext) -> moment/photometric measurements
-per object (Kron-style AUTO photometry, half-flux radius, half-peak-area FWHM).
-FLAG bits implemented: 4 (saturated), 8 (image-boundary truncation).
+-> 8-connected labeling (native C++ ext) -> multi-threshold deblending
+(exponential level ladder with the DEBLEND_MINCONT contrast criterion, pixels
+reassigned to the nearest significant peak component) -> moment/photometric
+measurements per object (Kron-style AUTO photometry, half-flux radius,
+half-peak-area FWHM). FLAG bits: 2 (deblended), 4 (saturated),
+8 (image-boundary truncation).
 """
 
 from __future__ import annotations
@@ -32,6 +35,41 @@ _DEFAULT_FILTER = np.array(
 ) / 16.0
 
 
+def _deblend_region(cut: np.ndarray, region: np.ndarray, floor: float,
+                    nlevels: int = 32, mincont: float = 0.005):
+    """Multi-threshold deblend of one labeled island.
+
+    cut: background-subtracted pixels of the island's bounding box; region:
+    boolean island mask; floor: the detection threshold level there.
+    Returns a list of boolean sub-masks (len 1 = no split)."""
+    vals = np.where(region, cut, 0.0)
+    peak = float(vals.max())
+    total = float(vals.sum())
+    if peak <= 0 or total <= 0 or peak <= 2.0 * floor:
+        return [region]
+
+    best = None
+    levels = floor * (peak / floor) ** (np.arange(1, nlevels) / nlevels)
+    for lev in levels:
+        sub = region & (cut > lev)
+        lab, n = ndi.label(sub, structure=np.ones((3, 3)))
+        if n < 2:
+            continue
+        fluxes = ndi.sum_labels(np.maximum(cut, 0.0), lab, np.arange(1, n + 1))
+        sig = np.where(fluxes > mincont * total)[0] + 1
+        if len(sig) >= 2 and (best is None or len(sig) > len(best[1])):
+            best = (lab, sig)
+    if best is None:
+        return [region]
+
+    lab, sig = best
+    seeds = np.where(np.isin(lab, sig), lab, 0)
+    # assign every island pixel to the nearest significant seed component
+    _, (ix, iy) = ndi.distance_transform_edt(seeds == 0, return_indices=True)
+    owner = seeds[ix, iy]
+    return [region & (owner == s) for s in sig]
+
+
 def extract_sources(
     image: np.ndarray,
     gain: float = 1.0,
@@ -43,6 +81,8 @@ def extract_sources(
     detect_thresh: float = 1.5,
     detect_minarea: int = 5,
     detect_maxarea: int = 0,
+    deblend_nlevels: int = 32,
+    deblend_mincont: float = 0.005,
     use_filter: bool = True,
     mag_zeropoint: float = 0.0,
 ) -> Tuple[Table, np.ndarray]:
@@ -92,81 +132,93 @@ def extract_sources(
         s = sl[lab - 1]
         if s is None:
             continue
-        region = seg[s] == lab
-        area = int(region.sum())
-        if area < detect_minarea:
+        island = seg[s] == lab
+        if int(island.sum()) < detect_minarea:
             continue
-        if detect_maxarea and area > detect_maxarea:
-            continue
-        cut = sub[s] * region
-        flux_iso = float(cut.sum())
-        if flux_iso <= 0:
-            continue
+        floor = detect_thresh * float(np.median(rms[s][island]))
+        if deblend_mincont < 1.0:
+            subregions = _deblend_region(sub[s], island, floor,
+                                         nlevels=deblend_nlevels,
+                                         mincont=deblend_mincont)
+        else:
+            subregions = [island]
+        blended = len(subregions) > 1
 
-        # barycenter + second moments (0-based local, then global)
-        xs, ys = np.nonzero(region)
-        w = np.maximum(cut[xs, ys], 0.0)
-        if w.sum() <= 0:
-            continue
-        xbar = np.average(xs, weights=w)
-        ybar = np.average(ys, weights=w)
-        x2 = np.average((xs - xbar) ** 2, weights=w) + 1.0 / 12
-        y2 = np.average((ys - ybar) ** 2, weights=w) + 1.0 / 12
-        xy = np.average((xs - xbar) * (ys - ybar), weights=w)
-        t1 = (x2 + y2) / 2
-        t2 = np.sqrt(max(((x2 - y2) / 2) ** 2 + xy**2, 0.0))
-        a2, b2 = max(t1 + t2, 1e-6), max(t1 - t2, 1e-6)
-        A, B = np.sqrt(a2), np.sqrt(b2)
-        theta = 0.5 * np.degrees(np.arctan2(2 * xy, x2 - y2))
+        for region in subregions:
+            area = int(region.sum())
+            if area < detect_minarea:
+                continue
+            if detect_maxarea and area > detect_maxarea:
+                continue
+            cut = sub[s] * region
+            flux_iso = float(cut.sum())
+            if flux_iso <= 0:
+                continue
 
-        gx = xbar + s[0].start
-        gy = ybar + s[1].start
+            # barycenter + second moments (0-based local, then global)
+            xs, ys = np.nonzero(region)
+            w = np.maximum(cut[xs, ys], 0.0)
+            if w.sum() <= 0:
+                continue
+            xbar = np.average(xs, weights=w)
+            ybar = np.average(ys, weights=w)
+            x2 = np.average((xs - xbar) ** 2, weights=w) + 1.0 / 12
+            y2 = np.average((ys - ybar) ** 2, weights=w) + 1.0 / 12
+            xy = np.average((xs - xbar) * (ys - ybar), weights=w)
+            t1 = (x2 + y2) / 2
+            t2 = np.sqrt(max(((x2 - y2) / 2) ** 2 + xy**2, 0.0))
+            a2, b2 = max(t1 + t2, 1e-6), max(t1 - t2, 1e-6)
+            A, B = np.sqrt(a2), np.sqrt(b2)
+            theta = 0.5 * np.degrees(np.arctan2(2 * xy, x2 - y2))
 
-        # AUTO (Kron) photometry on a circularized aperture
-        r1 = _kron_radius(sub, gx, gy, A)
-        r_auto = max(2.5 * r1, 3.5)  # SExtractor PHOT_AUTOPARAMS defaults
-        flux_auto, fluxerr_auto, frad = _aperture_photometry(
-            sub, rms, gx, gy, r_auto, gain
-        )
-        if flux_auto <= 0:
-            flux_auto = flux_iso
-        mag_auto = mag_zeropoint - 2.5 * np.log10(max(flux_auto, 1e-30))
-        magerr_auto = 1.0857 * fluxerr_auto / max(flux_auto, 1e-30)
+            gx = xbar + s[0].start
+            gy = ybar + s[1].start
 
-        # FWHM from the half-peak isophotal area (gaussian-core assumption)
-        peak = cut.max()
-        area_half = int((cut >= 0.5 * peak).sum())
-        fwhm = 2.0 * np.sqrt(area_half / np.pi)
+            # AUTO (Kron) photometry on a circularized aperture
+            r1 = _kron_radius(sub, gx, gy, A)
+            r_auto = max(2.5 * r1, 3.5)  # SExtractor PHOT_AUTOPARAMS defaults
+            flux_auto, fluxerr_auto, frad = _aperture_photometry(
+                sub, rms, gx, gy, r_auto, gain
+            )
+            if flux_auto <= 0:
+                flux_auto = flux_iso
+            mag_auto = mag_zeropoint - 2.5 * np.log10(max(flux_auto, 1e-30))
+            magerr_auto = 1.0857 * fluxerr_auto / max(flux_auto, 1e-30)
 
-        flags = 0
-        if (img[s][region] >= satur_level).any():
-            flags |= 4
-        if (s[0].start == 0 or s[1].start == 0
-                or s[0].stop == N0 or s[1].stop == N1):
-            flags |= 8
+            # FWHM from the half-peak isophotal area (gaussian-core assumption)
+            peak = cut.max()
+            area_half = int((cut >= 0.5 * peak).sum())
+            fwhm = 2.0 * np.sqrt(area_half / np.pi)
 
-        newlab += 1
-        newseg[s][region] = newlab
-        keep_labels.append(lab)
+            flags = 2 if blended else 0
+            if (img[s][region] >= satur_level).any():
+                flags |= 4
+            if (s[0].start == 0 or s[1].start == 0
+                    or s[0].stop == N0 or s[1].stop == N1):
+                flags |= 8
 
-        rows["X_IMAGE"].append(gx + 1.0)
-        rows["Y_IMAGE"].append(gy + 1.0)
-        rows["FLUX_AUTO"].append(flux_auto)
-        rows["FLUXERR_AUTO"].append(fluxerr_auto)
-        rows["MAG_AUTO"].append(mag_auto)
-        rows["MAGERR_AUTO"].append(magerr_auto)
-        rows["FLAGS"].append(flags)
-        rows["FLUX_RADIUS"].append(frad)
-        rows["FWHM_IMAGE"].append(fwhm)
-        rows["A_IMAGE"].append(A)
-        rows["B_IMAGE"].append(B)
-        rows["THETA_IMAGE"].append(theta)
-        rows["ELONGATION"].append(A / B)
-        rows["FLUX_ISO"].append(flux_iso)
-        rows["ISOAREA_IMAGE"].append(area)
-        rows["SNR_WIN"].append(flux_auto / max(fluxerr_auto, 1e-30))
-        rows["FLUX_MAX"].append(float(img[s][region].max()))
-        rows["SEGLABEL"].append(newlab)
+            newlab += 1
+            newseg[s][region] = newlab
+            keep_labels.append(lab)
+
+            rows["X_IMAGE"].append(gx + 1.0)
+            rows["Y_IMAGE"].append(gy + 1.0)
+            rows["FLUX_AUTO"].append(flux_auto)
+            rows["FLUXERR_AUTO"].append(fluxerr_auto)
+            rows["MAG_AUTO"].append(mag_auto)
+            rows["MAGERR_AUTO"].append(magerr_auto)
+            rows["FLAGS"].append(flags)
+            rows["FLUX_RADIUS"].append(frad)
+            rows["FWHM_IMAGE"].append(fwhm)
+            rows["A_IMAGE"].append(A)
+            rows["B_IMAGE"].append(B)
+            rows["THETA_IMAGE"].append(theta)
+            rows["ELONGATION"].append(A / B)
+            rows["FLUX_ISO"].append(flux_iso)
+            rows["ISOAREA_IMAGE"].append(area)
+            rows["SNR_WIN"].append(flux_auto / max(fluxerr_auto, 1e-30))
+            rows["FLUX_MAX"].append(float(img[s][region].max()))
+            rows["SEGLABEL"].append(newlab)
 
     cat = Table({k: np.asarray(v) for k, v in rows.items()})
     return cat, newseg

