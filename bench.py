@@ -49,6 +49,53 @@ def make_pair(n, seed=0):
     return I, J
 
 
+def bench_bspline(log):
+    import jax
+    import jax.numpy as jnp
+    from sfft_tpu.io import fits as sfits
+    from sfft_tpu.api.bspline import make_bspline_config
+    from sfft_tpu.core.engine import solve_and_subtract_fn
+    import os
+
+    base = "/root/reference/test/subtract_test_nircam/"
+    REFN = "jw01324001001-01324-o001_t001_nircam_clear-f200w_i2d_stamp"
+    SCIN = "jw02561001002-02561-o001_t003_nircam_clear-f200w_i2d_stamp"
+    if not os.path.exists(base + f"input_data/{REFN}.fits"):
+        log("bspline secondary bench: NIRCam data absent")
+        return
+    ref = np.nan_to_num(sfits.getdata(base + f"input_data/{REFN}.fits").T.astype(np.float64))
+    sci = np.nan_to_num(sfits.getdata(base + f"input_data/{SCIN}.fits").T.astype(np.float64))
+    mask = sfits.getdata(base + f"auxiliary/{SCIN}.mask4sfft.fits").T.astype(bool)
+    mref, msci = np.where(mask, ref, 0.0), np.where(mask, sci, 0.0)
+    N0, N1 = ref.shape
+    rng = np.random.default_rng(10086)
+    XY_REG = np.stack([rng.uniform(10.0, N0 - 10.0, 512),
+                       rng.uniform(10.0, N1 - 10.0, 512)], axis=1)
+    cfg = make_bspline_config(
+        N0, N1, 11, KerSpType="B-Spline", KerSpDegree=2,
+        KerIntKnotX=[0.5 + N0 / 3, 0.5 + N0 * 2 / 3],
+        KerIntKnotY=[0.5 + N1 / 3, 0.5 + N1 * 2 / 3],
+        SEPARATE_SCALING=True, ScaSpType="Polynomial", ScaSpDegree=2,
+        BkgSpType="Polynomial", BkgSpDegree=0,
+        REGULARIZE_KERNEL=True, XY_REGULARIZE=XY_REG, LAMBDA_REGULARIZE=3e-5)
+    step = solve_and_subtract_fn(cfg)
+
+    def timed(I, J, mI, mJ):
+        sol, diff = step(I, J, mI, mJ)
+        return jnp.sqrt(jnp.mean(diff.astype(jnp.float32) ** 2))
+
+    f = jax.jit(timed)
+    args = [jnp.asarray(a) for a in (ref, sci, mref, msci)]
+    out = float(np.asarray(f(*args)))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        out = float(np.asarray(f(*args)))
+        ts.append(time.time() - t0)
+    log(f"secondary: NIRCam B-spline 900^2 GKerHW=11 ({cfg.NEQ} dof): "
+        f"{min(ts)*1000:.1f} ms, diff RMS {out:.5f} (A100 ref ~2600 ms)")
+
+
 def main():
     import jax
 
