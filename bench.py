@@ -145,6 +145,12 @@ def main():
     t = min(times)
     log(f"best of 5: {t*1000:.1f} ms; diff RMS {out[0]:.4f} (noise sigma ~1.49)")
 
+    if platform != "cpu":
+        try:
+            bench_bspline(log)
+        except Exception as exc:
+            log(f"bspline secondary bench skipped: {exc}")
+
     print(json.dumps({
         "metric": f"{n}x{n}_f64_subtract_wall",
         "value": round(t, 4),
