@@ -414,3 +414,223 @@ def write(
     with open(path, "wb") as f:
         f.write(hdr_bytes)
         f.write(body)
+
+# ---------------------------------------------------------------------------
+# Binary tables (BINTABLE) and SExtractor FITS_LDAC catalogs
+# ---------------------------------------------------------------------------
+# Reference consumer: sfft/utils/pyAstroMatic/PYSEx.py parses the FITS_LDAC
+# catalogs written by the SExtractor binary (LDAC_IMHEAD extension carrying
+# the image header as 80-char cards + LDAC_OBJECTS extension with the
+# measurement columns).
+
+_TCODE_BE = {"L": "S1", "B": ">u1", "I": ">i2", "J": ">i4", "K": ">i8",
+             "A": "S1", "E": ">f4", "D": ">f8"}
+
+
+def _parse_bintable(hdr: Header, raw: bytes):
+    """Parse one BINTABLE HDU's fixed-width columns -> {name: ndarray}."""
+    nrows = int(hdr.get("NAXIS2", 0))
+    rowlen = int(hdr.get("NAXIS1", 0))
+    tfields = int(hdr.get("TFIELDS", 0))
+    tab = np.frombuffer(raw[: nrows * rowlen], dtype=np.uint8)
+    tab = tab.reshape(nrows, rowlen)
+    cols = {}
+    pos = 0
+    for k in range(1, tfields + 1):
+        tform = str(hdr[f"TFORM{k}"]).strip()
+        name = str(hdr.get(f"TTYPE{k}", f"COL{k}")).strip()
+        rep, code, size = _parse_tform(tform)
+        chunk = tab[:, pos : pos + size].tobytes()
+        pos += size
+        if code in ("P", "Q", "X", "C", "M"):
+            cols[name] = np.frombuffer(chunk, dtype=np.uint8).reshape(nrows, size)
+            continue
+        if code == "A":
+            arr = np.array([chunk[i * rep : (i + 1) * rep].decode(
+                "ascii", errors="replace").rstrip() for i in range(nrows)])
+        else:
+            arr = np.frombuffer(chunk, dtype=_TCODE_BE[code])
+            if code == "L":
+                arr = (arr == b"T")
+            else:
+                arr = arr.astype(arr.dtype.newbyteorder("="))
+            if rep > 1:
+                arr = arr.reshape(nrows, rep)
+        cols[name] = arr
+    return cols
+
+
+def read_table(path: str, ext: Optional[int] = None,
+               extname: Optional[str] = None):
+    """Read a BINTABLE extension -> ({column: ndarray}, Header).
+
+    Select by HDU index `ext` or by EXTNAME; default: first BINTABLE found.
+    """
+    with open(path, "rb") as f:
+        idx = 0
+        while True:
+            hdr = _read_header(f)
+            if hdr is None:
+                raise IndexError(f"table HDU not found in {path}")
+            shape = _data_shape(hdr)
+            nbytes = 0
+            if shape and all(s > 0 for s in shape):
+                bitpix = int(hdr["BITPIX"])
+                nbytes = int(np.prod(shape)) * _BITPIX_DTYPE[bitpix].itemsize
+            heap = int(hdr.get("PCOUNT", 0) or 0)
+            total = nbytes + heap
+            is_table = str(hdr.get("XTENSION", "")).strip() == "BINTABLE"
+            want = (ext == idx if ext is not None else
+                    (str(hdr.get("EXTNAME", "")).strip() == extname
+                     if extname is not None else is_table))
+            if want and is_table:
+                raw = f.read(total)
+                return _parse_bintable(hdr, raw), hdr
+            f.seek(total + ((-total) % BLOCK), os.SEEK_CUR)
+            idx += 1
+
+
+def _table_tform(arr: np.ndarray):
+    """(TFORM string, big-endian encoder) for one column array."""
+    if arr.dtype.kind in ("U", "S"):
+        width = int(arr.dtype.itemsize // (4 if arr.dtype.kind == "U" else 1))
+        width = max(width, 1)
+        def enc(a):
+            return np.array([s.encode("ascii", errors="replace")[:width]
+                             if isinstance(s, str) else bytes(s)[:width]
+                             for s in a], dtype=f"S{width}")
+        return f"{width}A", enc
+    rep = 1 if arr.ndim == 1 else int(np.prod(arr.shape[1:]))
+    kind = arr.dtype.kind
+    if kind == "b":
+        return f"{rep}L", lambda a: np.where(a, b"T", b"F").astype("S1")
+    if kind == "u" and arr.dtype.itemsize > 1:
+        return f"{rep}K", lambda a: a.astype(">i8")  # widen unsigned
+    code, dt = {("i", 2): ("I", ">i2"), ("i", 4): ("J", ">i4"),
+                ("i", 8): ("K", ">i8"), ("u", 1): ("B", ">u1"),
+                ("f", 4): ("E", ">f4"), ("f", 8): ("D", ">f8")}.get(
+        (kind, arr.dtype.itemsize), ("D", ">f8"))
+    return f"{rep}{code}", lambda a: a.astype(dt)
+
+
+def _bintable_hdu_bytes(columns, extname: str,
+                        header: Optional[Header] = None) -> bytes:
+    names = list(columns)
+    nrows = len(np.asarray(columns[names[0]])) if names else 0
+    rowparts, tforms = [], []
+    for n in names:
+        arr = np.asarray(columns[n])
+        tform, enc = _table_tform(arr)
+        size = _parse_tform(tform)[2]
+        e = np.ascontiguousarray(enc(arr))
+        rowparts.append(e.view(np.uint8).reshape(nrows, size))
+        tforms.append(tform)
+    rowlen = sum(p.shape[1] for p in rowparts)
+    body = (np.concatenate(rowparts, axis=1).tobytes()
+            if rowparts and nrows else b"")
+
+    cards = [
+        _format_card("XTENSION", "BINTABLE", "binary table extension"),
+        _format_card("BITPIX", 8),
+        _format_card("NAXIS", 2),
+        _format_card("NAXIS1", rowlen),
+        _format_card("NAXIS2", nrows),
+        _format_card("PCOUNT", 0),
+        _format_card("GCOUNT", 1),
+        _format_card("TFIELDS", len(names)),
+        _format_card("EXTNAME", extname),
+    ]
+    for k, (n, tf) in enumerate(zip(names, tforms), start=1):
+        cards.append(_format_card(f"TTYPE{k}", n))
+        cards.append(_format_card(f"TFORM{k}", tf))
+    if header is not None:
+        skip = {"XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "PCOUNT",
+                "GCOUNT", "TFIELDS", "EXTNAME"}
+        for key, value, comment in header.cards:
+            if key in skip or key.startswith(("TTYPE", "TFORM")):
+                continue
+            cards.append(_format_card(key, value, comment))
+    cards.append(b"END".ljust(80))
+    hdrb = b"".join(cards)
+    hdrb += b" " * ((-len(hdrb)) % BLOCK)
+    body += b"\x00" * ((-len(body)) % BLOCK)
+    return hdrb + body
+
+
+def _primary_stub_bytes() -> bytes:
+    cards = [_format_card("SIMPLE", True), _format_card("BITPIX", 8),
+             _format_card("NAXIS", 0), _format_card("EXTEND", True),
+             b"END".ljust(80)]
+    b = b"".join(cards)
+    return b + b" " * ((-len(b)) % BLOCK)
+
+
+def write_table(path: str, columns, extname: str = "TABLE",
+                header: Optional[Header] = None):
+    """Write {column: ndarray} as primary stub + one BINTABLE extension."""
+    with open(path, "wb") as f:
+        f.write(_primary_stub_bytes())
+        f.write(_bintable_hdu_bytes(columns, extname, header))
+
+
+def _header_to_cardblock(hdr: Header) -> np.ndarray:
+    cards = [_format_card(k, v, c).decode("ascii") for (k, v, c) in hdr.cards]
+    cards.append("END".ljust(80))
+    return np.array(cards)
+
+
+def _cardblock_to_header(cards) -> Header:
+    hdr = Header()
+    for card in cards:
+        card = str(card).ljust(80)[:80]
+        key = card[:8].strip()
+        if key == "END":
+            break
+        if not key and not card.strip():
+            continue
+        if key in ("COMMENT", "HISTORY"):
+            hdr.add(key, card[8:].rstrip())
+        elif card[8:10] == "= ":
+            body = card[10:]
+            slash = _find_comment_slash(body)
+            rawval = body[:slash] if slash >= 0 else body
+            comment = body[slash + 1 :].strip() if slash >= 0 else ""
+            hdr.add(key, _parse_value(rawval), comment)
+        else:
+            hdr.add(key, card[8:].rstrip())
+    return hdr
+
+
+def write_ldac(path: str, columns, imheader: Optional[Header] = None):
+    """Write a SExtractor-convention FITS_LDAC catalog: primary stub +
+    LDAC_IMHEAD (the image header as one 80-char-card string column) +
+    LDAC_OBJECTS (the measurement table)."""
+    if imheader is None:
+        imheader = Header()
+        imheader.add("SIMPLE", True)
+    cardblock = _header_to_cardblock(imheader)
+    field = np.array(["".join(c.ljust(80) for c in cardblock)])
+    with open(path, "wb") as f:
+        f.write(_primary_stub_bytes())
+        f.write(_bintable_hdu_bytes(
+            {"Field Header Card": field}, "LDAC_IMHEAD"))
+        f.write(_bintable_hdu_bytes(columns, "LDAC_OBJECTS"))
+
+
+def read_ldac(path: str):
+    """Read a FITS_LDAC catalog -> ({column: ndarray}, image Header).
+
+    Accepts both proper LDAC files (LDAC_IMHEAD + LDAC_OBJECTS) and plain
+    FITS_1.0 catalogs (single BINTABLE, empty image header)."""
+    try:
+        imh_cols, _ = read_table(path, extname="LDAC_IMHEAD")
+        blob = str(list(imh_cols.values())[0][0])
+        cards = [blob[i : i + 80] for i in range(0, len(blob), 80)]
+        imhdr = _cardblock_to_header(cards)
+    except IndexError:
+        imhdr = Header()
+    try:
+        cols, _ = read_table(path, extname="LDAC_OBJECTS")
+    except IndexError:
+        cols, _ = read_table(path)
+    return cols, imhdr
