@@ -74,18 +74,32 @@ def make_bspline_config(
     import jax
 
     if jax.default_backend() not in ("cpu", "gpu"):
-        # On TPU complex128 FFT is unavailable and the peeled exact-f64 path
-        # needs polynomial shift closure. Polynomial-basis configs use it;
-        # any B-spline basis falls back to f32-compute Greek tables
-        # (validated against f64 on the NIRCam data; see DESIGN.md).
+        # On TPU complex128 FFT is unavailable; the peeled exact-grade path
+        # covers polynomial bases (core/peel.py) and B-spline bases via the
+        # truncated-power generalization (core/peel_pw.py). Configs whose
+        # union knot grid is too dense for the piecewise peel's sliver
+        # separation fall back to f32-compute Greek tables (validated against
+        # f64 on the NIRCam data; see DESIGN.md).
+        probe = SFFTConfig(
+            N0=int(N0), N1=int(N1), w0=int(GKerHW), w1=int(GKerHW),
+            kernel_basis=kernel_basis, bg_basis=bg_basis,
+            scaling_basis=scaling_basis, const_phot_ratio=False,
+        )
+        from sfft_tpu.core.peel_pw import pw_supported
+
         poly_only = (kernel_basis.kind == "polynomial"
                      and bg_basis.kind == "polynomial"
                      and (scaling_basis is None
                           or scaling_basis.kind == "polynomial"))
+        # B-spline configs CAN run the exact-grade truncated-power peel
+        # (greek_backend="peeled", requires pw_supported knot spacing), but it
+        # currently costs ~10x the f32 FFT tables; default to fft32 until the
+        # small-contraction f64 contractions are restructured (DESIGN.md).
         defaults = dict(
             greek_backend="peeled" if poly_only else "fft32",
             fdiff_backend="fft32", solver="refined",
         )
+        del pw_supported, probe  # placeholder until the peeled default flips
     defaults.update(engine_kwargs)
     return SFFTConfig(
         N0=int(N0), N1=int(N1), w0=int(GKerHW), w1=int(GKerHW),

@@ -90,12 +90,34 @@ def _gather_plan(cfg: SFFTConfig):
     )
 
 
-def assemble_system(cfg: SFFTConfig, t: GreekTables) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _omg_chunk(Fab: int) -> int:
+    """Row-offset chunk size for the memory-capped OMG assembly: the largest
+    divisor of Fab not exceeding 64."""
+    best = 1
+    for d in range(1, min(Fab, 64) + 1):
+        if Fab % d == 0:
+            best = d
+    return best
+
+
+def assemble_system(cfg: SFFTConfig, t: GreekTables,
+                    out_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build (LHMAT, RHb) of the NEQ x NEQ system, identical in value to the
-    reference's FillLS output for the active scaling mode."""
+    reference's FillLS output for the active scaling mode.
+
+    out_dtype: optional output dtype for the assembled system. When it is
+    narrower than the tables' dtype (exact-f64 tables -> f32 system at large
+    NEQ), the delta-basis CANCELLATION still happens in full table precision —
+    only the already-cancelled small entries are rounded — and the OMG block
+    is built in row-offset chunks via lax.map so no full-precision NEQ^2
+    intermediate ever exists (13k-dof B-spline configs would otherwise exceed
+    HBM)."""
+    import jax
+
     p = _gather_plan(cfg)
     Fij, Fpq, Fab = cfg.Fij, cfg.Fpq, cfg.Fab
     dt = t.Pbb.dtype
+    odt = jnp.dtype(out_dtype) if out_dtype is not None else dt
     c1 = jnp.asarray(p["c1"], dt)
     c0 = jnp.asarray(p["c0"], dt)
     cs = jnp.asarray(p["cs"], dt)
@@ -103,25 +125,42 @@ def assemble_system(cfg: SFFTConfig, t: GreekTables) -> Tuple[jnp.ndarray, jnp.n
     # ---- OMG block -----------------------------------------------------
     Pbbf = t.Pbb.reshape(Fij, Fij, -1)
     Pbsf = t.Pbs.reshape(Fij, Fij, -1)
-    bb_cross = Pbbf[:, :, p["omg_cross"]]                 # (F,F,Fab,Fab)
-    bb_row = Pbbf[:, :, p["omg_row"]][:, :, :, None]
-    bb_col = Pbbf[:, :, p["omg_col"]][:, :, None, :]
+    Psbf = jnp.swapaxes(Pbsf, 0, 1)
     bb_zero = Pbbf[:, :, p["omg_zero"]][:, :, None, None]
-    bs_row = Pbsf[:, :, p["g_row"]][:, :, :, None]        # Pbs(a8) over rows
     bs_zero = Pbsf[:, :, p["g_zero"]][:, :, None, None]
-    # Psb(-a) = Pbs(a) transposed in plane indices (correlation mirror)
-    sb_colneg = jnp.swapaxes(Pbsf, 0, 1)[:, :, p["g_row"]][:, :, None, :]
-    sb_zero = jnp.swapaxes(Pbsf, 0, 1)[:, :, p["g_zero"]][:, :, None, None]
+    sb_zero = Psbf[:, :, p["g_zero"]][:, :, None, None]
     ss = t.Pss[:, :, None, None]
-
-    r1, r0, rs = c1[:, None], c0[:, None], cs[:, None]
     k1, k0, ks = c1[None, :], c0[None, :], cs[None, :]
-    omg = (
-        r1 * k1 * bb_cross + r1 * k0 * bb_row + r1 * ks * bs_row
-        + r0 * k1 * bb_col + r0 * k0 * bb_zero + r0 * ks * bs_zero
-        + rs * k1 * sb_colneg + rs * k0 * sb_zero + rs * ks * ss
-    )
-    omg = jnp.transpose(omg, (0, 2, 1, 3)).reshape(Fij * Fab, Fij * Fab)
+    # column-indexed terms (row-independent)
+    bb_col = Pbbf[:, :, p["omg_col"]][:, :, None, :]
+    sb_colneg = Psbf[:, :, p["g_row"]][:, :, None, :]
+    col_part = (k1 * bb_col + k0 * bb_zero + ks * bs_zero)      # x c0 row
+    scl_part = (k1 * sb_colneg + k0 * sb_zero + ks * ss)        # x cs row
+
+    oc = jnp.asarray(p["omg_cross"])
+    orow = jnp.asarray(p["omg_row"])
+    grow = jnp.asarray(p["g_row"])
+    CH = _omg_chunk(Fab) if odt != dt else Fab
+
+    def rows_for(idx):
+        """OMG rows for a row-offset subset idx (CH,): (Fij, CH, Fij*Fab)."""
+        bb_cross = Pbbf[:, :, oc[idx]]                           # (F,F,CH,Fab)
+        bb_row = Pbbf[:, :, orow[idx]][:, :, :, None]
+        bs_row = Pbsf[:, :, grow[idx]][:, :, :, None]
+        r1 = c1[idx][:, None]
+        r0 = c0[idx][:, None]
+        rs = cs[idx][:, None]
+        blk = (r1 * (k1 * bb_cross + k0 * bb_row + ks * bs_row)
+               + r0 * col_part + rs * scl_part)
+        return jnp.transpose(blk, (0, 2, 1, 3)).reshape(
+            Fij, CH, Fij * Fab).astype(odt)
+
+    if CH == Fab:
+        omg = rows_for(jnp.arange(Fab)).reshape(Fij * Fab, Fij * Fab)
+    else:
+        chunks = jnp.asarray(np.arange(Fab).reshape(-1, CH))
+        mapped = jax.lax.map(rows_for, chunks)                   # (nc,F,CH,Q)
+        omg = jnp.moveaxis(mapped, 0, 1).reshape(Fij * Fab, Fij * Fab)
 
     # ---- GAM block: rows (i8j8, a8b8), cols pq -------------------------
     Gbf = t.Pgb.reshape(Fij, Fpq, -1)
@@ -150,8 +189,9 @@ def assemble_system(cfg: SFFTConfig, t: GreekTables) -> Tuple[jnp.ndarray, jnp.n
     )
     the = the.reshape(Fij * Fab)
 
-    lhs = jnp.block([[omg, gam], [psi, t.Pphi]])
-    rhs = jnp.concatenate([the, t.Pdel])
+    lhs = jnp.block([[omg, gam.astype(odt)],
+                     [psi.astype(odt), t.Pphi.astype(odt)]])
+    rhs = jnp.concatenate([the.astype(odt), t.Pdel.astype(odt)])
     return lhs, rhs
 
 

@@ -88,11 +88,19 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
                 Pphi=tables.Pphi, Pdel=tables.Pdel,
             )
 
-    lhs, rhs = assemble_system(cfg, tables)
+    # Large systems from f64 tables: assemble to f32 (the delta-basis
+    # cancellation still happens in f64 inside the chunked gathers; only the
+    # cancelled small entries are rounded) — at 13k dof a full-f64 assembly +
+    # regularization + solve exceeds HBM.
+    out_dtype = None
+    if tables.Pbb.dtype == jnp.float64 and cfg.NEQ >= 8192 \
+            and jax.default_backend() not in ("cpu", "gpu"):
+        out_dtype = jnp.float32
+    lhs, rhs = assemble_system(cfg, tables, out_dtype=out_dtype)
     lhs = apply_regularization(cfg, lhs)
-    # fft32 assembly path: the matrix is f32-accurate, so the whole solve runs
-    # in f32 (avoids any f64 NEQ^2 buffer — at 13k dof that is the difference
-    # between fitting in HBM or not); only the solution is returned in f64.
+    # f32-assembled systems solve fully in f32 (avoids any f64 NEQ^2 buffer —
+    # at 13k dof that is the difference between fitting in HBM or not); only
+    # the solution is returned in f64.
     return solve_system(cfg, lhs, rhs).astype(dt)
 
 

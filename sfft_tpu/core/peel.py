@@ -340,11 +340,14 @@ def peeled_greek_tables(
     """(Comg, Cgam, Cthe, Cphi, Cdel) unscaled CC tables, mixed-precision:
     exact f64 for every term touching smooth/polynomial content, fluct x fluct
     via FFT in cfg fluct dtype."""
-    if cfg.kernel_basis.kind != "polynomial" or cfg.bg_basis.kind != "polynomial":
-        raise ValueError("peeled backend requires polynomial bases")
     separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
-    if separate_varying and cfg.scaling_basis.kind != "polynomial":
-        raise ValueError("peeled backend requires a polynomial scaling basis")
+    if (cfg.kernel_basis.kind != "polynomial"
+            or cfg.bg_basis.kind != "polynomial"
+            or (separate_varying and cfg.scaling_basis.kind != "polynomial")):
+        # B-spline bases: the truncated-power generalization handles them
+        from sfft_tpu.core.peel_pw import peeled_pw_greek_tables
+
+        return peeled_pw_greek_tables(I, J, cfg)
     N0, N1, w0, w1 = cfg.N0, cfg.N1, cfg.w0, cfg.w1
     dmu = cfg.peel_degree
     dk = cfg.kernel_basis.degree
