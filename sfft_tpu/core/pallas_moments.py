@@ -112,6 +112,11 @@ def moments_pallas(W: jnp.ndarray, G: jnp.ndarray, bx: int = 128,
     Returns f64 (S, N1), accurate to ~1e-14 relative. Arbitrary shapes
     (zero-padded internally to tile multiples); S <= 16 per kernel (larger S
     is chunked). Traceable under jit; TPU only.
+
+    Blocking: lax.scan over contraction blocks inside lax.map over lane
+    chunks, so the HLO graph contains ONE pallas custom-call per matmul
+    regardless of operand size (a fully unrolled block loop put thousands of
+    custom-calls into large graphs and blew up axon compile times).
     """
     S, N0 = W.shape
     _, N1 = G.shape
@@ -126,32 +131,37 @@ def moments_pallas(W: jnp.ndarray, G: jnp.ndarray, bx: int = 128,
     wh = _pad_to(_pad_to(wh, 1, Sp), 0, bx)
     wl = _pad_to(_pad_to(wl, 1, Sp), 0, bx)
     gh, gl = split_f64(G)
-    gh = _pad_to(gh, 0, bx)
-    gl = _pad_to(gl, 0, bx)
-    N0p = gh.shape[0]
+    gh = _pad_to(_pad_to(gh, 0, bx), 1, by)
+    gl = _pad_to(_pad_to(gl, 0, bx), 1, by)
+    N0p, N1p = gh.shape
+    nK, nL = N0p // bx, N1p // by
 
     kern = _make_kernel(bx, S)
+    call_tile = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((Sp, by), jnp.float32),) * 2,
+    )
 
-    def call_tile(whb, wlb, ghb, glb, lanes):
-        return pl.pallas_call(
-            kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
-            out_shape=(jax.ShapeDtypeStruct((Sp, lanes), jnp.float32),) * 2,
-        )(whb, wlb, ghb, glb)
+    whb = wh.reshape(nK, bx, Sp)
+    wlb = wl.reshape(nK, bx, Sp)
+    # (nL, nK, bx, by) lane-chunked contraction blocks
+    ghb = jnp.moveaxis(gh.reshape(nK, bx, nL, by), 2, 0)
+    glb = jnp.moveaxis(gl.reshape(nK, bx, nL, by), 2, 0)
 
-    cols = []
-    for j0 in range(0, N1, by):
-        j1 = min(j0 + by, N1)
-        ghc = _pad_to(gh[:, j0:j1], 1, 128)
-        glc = _pad_to(gl[:, j0:j1], 1, 128)
-        lanes = ghc.shape[1]
-        acc = jnp.zeros((Sp, lanes), jnp.float64)
-        for k0 in range(0, N0p, bx):
-            oh, ol = call_tile(
-                wh[k0 : k0 + bx], wl[k0 : k0 + bx],
-                ghc[k0 : k0 + bx], glc[k0 : k0 + bx], lanes,
-            )
-            acc = acc + (oh.astype(jnp.float64) + ol.astype(jnp.float64))
-        cols.append(acc[:, : j1 - j0])
-    return jnp.concatenate(cols, axis=1)[:S]
+    def lane_chunk(g2):
+        ghc, glc = g2
+
+        def step(acc, xs):
+            whk, wlk, ghk, glk = xs
+            oh, ol = call_tile(whk, wlk, ghk, glk)
+            return acc + (oh.astype(jnp.float64) + ol.astype(jnp.float64)), 0
+
+        acc, _ = jax.lax.scan(
+            step, jnp.zeros((Sp, by), jnp.float64), (whb, wlb, ghc, glc))
+        return acc
+
+    out = jax.lax.map(lane_chunk, (ghb, glb))       # (nL, Sp, by)
+    out = jnp.moveaxis(out, 0, 1).reshape(Sp, N1p)
+    return out[:S, :N1]

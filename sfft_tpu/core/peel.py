@@ -56,7 +56,7 @@ def _exact_skinny_matmul(P0: jnp.ndarray, G: jnp.ndarray) -> jnp.ndarray:
     the compensated double-float Pallas kernel instead (1.9 ms, ~1e-14 rel).
     Plain matmul (true f64) everywhere else."""
     if (G.dtype == jnp.float64
-            and G.shape[0] >= 1024 and G.shape[0] * G.shape[1] >= 1 << 21
+            and G.shape[0] >= 128 and G.shape[0] * G.shape[1] >= 1 << 21
             and jax.default_backend() not in ("cpu", "gpu")
             and not os.environ.get("SFFT_NO_PALLAS")):
         from sfft_tpu.core.pallas_moments import moments_pallas

@@ -499,20 +499,56 @@ def pw_static_channels(rep, ax: PWAxis, SG: int):
 def pw_static_moments(C, chx, chy) -> PWMoments:
     """PWMoments of the plane(s) sum_st C[s, t] fx_s(x) fy_t(y), where chx/chy
     are channel triplets with leading (s/t, b) axes — b is the output batch.
-    C: (ns, nt), possibly traced."""
-    Sx, Kx, Bx = chx
+    C: (ns, nt), possibly traced.
+
+    Contract C with the (tiny) x channels first, then build each class as an
+    unrolled sum of broadcast outer products over t — the big class tensors
+    never go through an f64 dot (slow exact path on TPU)."""
+    Sx, Kx, Bx = chx                     # (ns, B, M0, U) / (ns,B,K0,R0,U) / ..
     Sy, Ky, By = chy
-    e = jnp.einsum
+    C = jnp.asarray(C)
+    ns, nt = C.shape
+
+    def cmix(X):
+        """CX[t, ...] = sum_s C[s, t] X[s, ...] (tiny tensors)."""
+        out = []
+        for t in range(nt):
+            acc = 0.0
+            for s in range(ns):
+                acc = acc + C[s, t] * X[s]
+            out.append(acc)
+        return out
+
+    CSx, CKx, CBx = cmix(Sx), cmix(Kx), cmix(Bx)
+
+    def join(CX, Y, xsh, ysh):
+        """sum_t CX[t][xsh-broadcast] * Y[t][ysh-broadcast]."""
+        acc = 0.0
+        for t in range(nt):
+            acc = acc + CX[t][xsh] * Y[t][ysh]
+        return acc
+
+    s_ = slice(None)
+    n = None
     return PWMoments(
-        MM=e("st,sbmu,tblv->bmulv", C, Sx, Sy),
-        BM=e("st,sbru,tblv->brulv", C, Bx, Sy),
-        MB=e("st,sbmu,tbev->bmuev", C, Sx, By),
-        BB=e("st,sbru,tbev->breuv", C, Bx, By),
-        KM=e("st,sbkru,tblv->bkrulv", C, Kx, Sy),
-        MK=e("st,sbmu,tbjev->bmujev", C, Sx, Ky),
-        KK=e("st,sbkru,tbjev->bkjreuv", C, Kx, Ky),
-        KB=e("st,sbkru,tbev->bkreuv", C, Kx, By),
-        BK=e("st,sbru,tbjev->bjreuv", C, Bx, Ky),
+        # MM (b, m, u, l, v)
+        MM=join(CSx, Sy, (s_, s_, s_, n, n), (s_, n, n, s_, s_)),
+        # BM (b, r, u, l, v)
+        BM=join(CBx, Sy, (s_, s_, s_, n, n), (s_, n, n, s_, s_)),
+        # MB (b, m, u, e, v)
+        MB=join(CSx, By, (s_, s_, s_, n, n), (s_, n, n, s_, s_)),
+        # BB (b, r, e, u, v)
+        BB=join(CBx, By, (s_, s_, n, s_, n), (s_, n, s_, n, s_)),
+        # KM (b, k, r, u, l, v)
+        KM=join(CKx, Sy, (s_, s_, s_, s_, n, n), (s_, n, n, n, s_, s_)),
+        # MK (b, m, u, k, e, v)
+        MK=join(CSx, Ky, (s_, s_, s_, n, n, n), (s_, n, n, s_, s_, s_)),
+        # KK (b, k, j, r, e, u, v)
+        KK=join(CKx, Ky, (s_, s_, n, s_, n, s_, n), (s_, n, s_, n, s_, n, s_)),
+        # KB (b, k, r, e, u, v)
+        KB=join(CKx, By, (s_, s_, s_, n, s_, n), (s_, n, n, s_, n, s_)),
+        # BK (b, j, r, e, u, v)
+        BK=join(CBx, Ky, (s_, n, s_, n, s_, n), (s_, s_, n, s_, n, s_)),
     )
 
 
@@ -529,101 +565,130 @@ def pw_contract_basis(mom: PWMoments, RepX, RepY, ax0: PWAxis, ax1: PWAxis,
                       SGo: int) -> PWMoments:
     """Moment classes of G*beta_b for every basis function b, from the classes
     of G. RepX/RepY: (F, M, P) 1D reps of the per-b separable factors. Output
-    tensors gain a leading b axis; powers truncated to SGo."""
+    tensors gain a leading b axis; powers truncated to SGo.
+
+    All contractions are over tiny (threshold, power) dims with large batch
+    outputs — unrolled into broadcast multiply-adds (XLA's f64 dot path for
+    such shapes is ~30x slower, measured)."""
     M0, M1 = len(ax0.thr), len(ax1.thr)
     P = RepX.shape[-1]
     dt = mom.MM.dtype
     RepX = jnp.asarray(RepX, dt)
     RepY = jnp.asarray(RepY, dt)
+    RCx = jnp.cumsum(RepX, axis=1)     # RCx[b, j, p] = sum_{m<=j} RepX[b,m,p]
+    RCy = jnp.cumsum(RepY, axis=1)
+    B = RepX.shape[0]
 
-    CTx = np.zeros((M0, M0, M0))
-    for n in range(M0):
-        for m in range(M0):
-            CTx[n, m, max(n, m)] = 1.0
-    CTy = np.zeros((M1, M1, M1))
-    for n in range(M1):
-        for m in range(M1):
-            CTy[n, m, max(n, m)] = 1.0
-    CTx = jnp.asarray(CTx, dt)
-    CTy = jnp.asarray(CTy, dt)
-    smx = jnp.asarray(_sliver_mask(M0, ax0.lags), dt)   # (K0, R0, M0)
-    smy = jnp.asarray(_sliver_mask(M1, ax1.lags), dt)
-    bmx = jnp.asarray(_bnd_mask(M0, ax0.lags), dt)      # (R0, M0)
-    bmy = jnp.asarray(_bnd_mask(M1, ax1.lags), dt)
+    def suf_step(T, Rep, m_ax, u_ax):
+        """out[b, n, u, rest] = sum_{m2,p} Rep[b,m2,p] T[max(n,m2), u+p]."""
+        T = jnp.moveaxis(T, (m_ax, u_ax), (0, 1))
+        M = T.shape[0]
+        bsh = (slice(None),) + (None,) * (T.ndim - 1)
+        rows = []
+        for n in range(M):
+            acc = 0.0
+            for m2 in range(M):
+                g = max(n, m2)
+                for p in range(P):
+                    acc = acc + Rep[:, m2, p][bsh] * T[g, p : p + SGo]
+            rows.append(acc)
+        out = jnp.stack(rows, axis=1)                    # (B, M, SGo, rest)
+        return jnp.moveaxis(out, (1, 2), (m_ax + 1, u_ax + 1))
 
-    def xs(T, pat_in, pat_out, uax):
-        """x-suffix contraction: (m, u) dims -> (b, n, u')."""
+    def slv_step(T, Rep, RC, k_ax, r_ax, u_ax, lags):
+        """Sliver classes: the rep restricted to the sliver at knot k is
+        constant per threshold: coeff = RC[:, k] on fwd (lag>0) slivers,
+        RC[:, k-1] on bwd."""
+        T = jnp.moveaxis(T, (k_ax, r_ax, u_ax), (0, 1, 2))
+        K, R = T.shape[0], T.shape[1]
+        fwd = lags > 0
         out = 0.0
+        bsh = (slice(None), slice(None), slice(None)) + (None,) * (T.ndim - 2)
         for p in range(P):
-            sl = [slice(None)] * T.ndim
-            sl[uax] = slice(p, p + SGo)
-            out = out + jnp.einsum(f"bm,nmg,{pat_in}->{pat_out}",
-                                   RepX[:, :, p], CTx, T[tuple(sl)])
-        return out
+            cb = RC[:, 0:K, p]                           # RC[k-1] for k=1..K
+            cfw = RC[:, 1 : K + 1, p]                    # RC[k]
+            c = jnp.where(jnp.asarray(fwd)[None, None, :],
+                          cfw[:, :, None], cb[:, :, None])  # (B, K, R)
+            out = out + c[bsh] * T[None, :, :, p : p + SGo]
+        return jnp.moveaxis(out, (1, 2, 3), (k_ax + 1, r_ax + 1, u_ax + 1))
 
-    def e_loop(rep, rep_ein, mask_ein, T, pat, out_pat, uax, maskarr):
+    def bnd_step(T, Rep, RC, r_ax, u_ax, lags):
+        """Boundary strips: top (lag>0) sees only m2=0; bottom sees all."""
+        T = jnp.moveaxis(T, (r_ax, u_ax), (0, 1))
         out = 0.0
+        bsh = (slice(None), slice(None)) + (None,) * (T.ndim - 1)
         for p in range(P):
-            sl = [slice(None)] * T.ndim
-            sl[uax] = slice(p, p + SGo)
-            out = out + jnp.einsum(f"{rep_ein},{mask_ein},{pat}->{out_pat}",
-                                   rep[:, :, p], maskarr, T[tuple(sl)])
-        return out
+            c = jnp.where(jnp.asarray(lags > 0)[None, :],
+                          Rep[:, 0, p][:, None], RC[:, -1, p][:, None])
+            out = out + c[bsh] * T[None, :, p : p + SGo]
+        return jnp.moveaxis(out, (1, 2), (r_ax + 1, u_ax + 1))
 
-    # MM (m,u,l,v): suffix x then suffix y
-    A = xs(mom.MM, "gulv", "bnulv", 1)
-    MM = e_loop(RepY, "bl", "jlh", A, "bnuhv", "bnujv", 4, CTy)
-    # BM (r,u,l,v): bnd x then suffix y
-    A = e_loop(RepX, "bm", "rm", mom.BM, "rulv", "brulv", 1, bmx)
-    BM = e_loop(RepY, "bl", "jlh", A, "bruhv", "brujv", 4, CTy)
-    # MB (m,u,e,v): suffix x then bnd y
-    # y-bnd: out[b,n,u,e,v'] = sum_{l,p} RepY[b,l,p] bmy[e,l] A[b,n,u,e,v'+p]
-    A = xs(mom.MB, "guev", "bnuev", 1)
-    out = 0.0
-    for p in range(P):
-        out = out + jnp.einsum("bl,el,bnuev->bnuev",
-                               RepY[:, :, p], bmy, A[..., p : p + SGo])
-    MB = out
-    # BB (r,e,u,v): bnd x then bnd y
-    A = e_loop(RepX, "bm", "rm", mom.BB, "reuv", "breuv", 2, bmx)
-    out = 0.0
-    for p in range(P):
-        out = out + jnp.einsum("bl,el,breuv->breuv",
-                               RepY[:, :, p], bmy, A[..., p : p + SGo])
-    BB = out
-    # KM (k,r,u,l,v): sliver x then suffix y
-    A = e_loop(RepX, "bm", "krm", mom.KM, "krulv", "bkrulv", 2, smx)
-    KM = e_loop(RepY, "bl", "jlh", A, "bkruhv", "bkrujv", 5, CTy)
-    # MK (m,u,k,e,v): suffix x then sliver y
-    A = xs(mom.MK, "gukev", "bnukev", 1)
-    out = 0.0
-    for p in range(P):
-        out = out + jnp.einsum("bl,kel,bnukev->bnukev",
-                               RepY[:, :, p], smy, A[..., p : p + SGo])
-    MK = out
-    # KK (k,j,r,e,u,v): sliver x then sliver y
-    A = e_loop(RepX, "bm", "krm", mom.KK, "kjreuv", "bkjreuv", 4, smx)
-    out = 0.0
-    for p in range(P):
-        out = out + jnp.einsum("bl,jel,bkjreuv->bkjreuv",
-                               RepY[:, :, p], smy, A[..., p : p + SGo])
-    KK = out
-    # KB (k,r,e,u,v): sliver x then bnd y
-    A = e_loop(RepX, "bm", "krm", mom.KB, "kreuv", "bkreuv", 3, smx)
-    out = 0.0
-    for p in range(P):
-        out = out + jnp.einsum("bl,el,bkreuv->bkreuv",
-                               RepY[:, :, p], bmy, A[..., p : p + SGo])
-    KB = out
-    # BK (j,r,e,u,v): bnd x then sliver y
-    A = e_loop(RepX, "bm", "rm", mom.BK, "jreuv", "bjreuv", 3, bmx)
-    out = 0.0
-    for p in range(P):
-        out = out + jnp.einsum("bl,jel,bjreuv->bjreuv",
-                               RepY[:, :, p], smy, A[..., p : p + SGo])
-    BK = out
+    # x-step then y-step per class (axis positions shift by 1 after the
+    # leading b axis appears; y-steps use the b-sharing variants below)
+    def suf_step_y(T, Rep, l_ax, v_ax):
+        T = jnp.moveaxis(T, (l_ax, v_ax), (1, 2))        # (B, M, SGin, rest)
+        M = T.shape[1]
+        bsh = (slice(None),) + (None,) * (T.ndim - 2)
+        rows = []
+        for n in range(M):
+            acc = 0.0
+            for m2 in range(M):
+                g = max(n, m2)
+                for p in range(P):
+                    acc = acc + Rep[:, m2, p][bsh] * T[:, g, p : p + SGo]
+            rows.append(acc)
+        out = jnp.stack(rows, axis=1)
+        return jnp.moveaxis(out, (1, 2), (l_ax, v_ax))
+
+    def slv_step_y(T, Rep, RC, k_ax, e_ax, v_ax, lags):
+        T = jnp.moveaxis(T, (k_ax, e_ax, v_ax), (1, 2, 3))
+        K = T.shape[1]
+        out = 0.0
+        bsh = (slice(None), slice(None), slice(None)) + (None,) * (T.ndim - 3)
+        for p in range(P):
+            cb = RC[:, 0:K, p]
+            cfw = RC[:, 1 : K + 1, p]
+            c = jnp.where(jnp.asarray(lags > 0)[None, None, :],
+                          cfw[:, :, None], cb[:, :, None])
+            out = out + c[bsh] * T[:, :, :, p : p + SGo]
+        return jnp.moveaxis(out, (1, 2, 3), (k_ax, e_ax, v_ax))
+
+    def bnd_step_y(T, Rep, RC, e_ax, v_ax, lags):
+        T = jnp.moveaxis(T, (e_ax, v_ax), (1, 2))
+        out = 0.0
+        bsh = (slice(None), slice(None)) + (None,) * (T.ndim - 2)
+        for p in range(P):
+            c = jnp.where(jnp.asarray(lags > 0)[None, :],
+                          Rep[:, 0, p][:, None], RC[:, -1, p][:, None])
+            out = out + c[bsh] * T[:, :, p : p + SGo]
+        return jnp.moveaxis(out, (1, 2), (e_ax, v_ax))
+
+    lg0, lg1 = ax0.lags, ax1.lags
+    # MM (m,u,l,v)
+    MM = suf_step_y(suf_step(mom.MM, RepX, 0, 1), RepY, 3, 4)
+    # BM (r,u,l,v)
+    BM = suf_step_y(bnd_step(mom.BM, RepX, RCx, 0, 1, lg0), RepY, 3, 4)
+    # MB (m,u,e,v)
+    MB = bnd_step_y(suf_step(mom.MB, RepX, 0, 1), RepY, RCy, 3, 4, lg1)
+    # BB (r,e,u,v)
+    BB = bnd_step_y(bnd_step(mom.BB, RepX, RCx, 0, 2, lg0), RepY, RCy, 2, 4,
+                    lg1)
+    # KM (k,r,u,l,v)
+    KM = suf_step_y(slv_step(mom.KM, RepX, RCx, 0, 1, 2, lg0), RepY, 4, 5)
+    # MK (m,u,k,e,v)
+    MK = slv_step_y(suf_step(mom.MK, RepX, 0, 1), RepY, RCy, 3, 4, 5, lg1)
+    # KK (k,j,r,e,u,v)
+    KK = slv_step_y(slv_step(mom.KK, RepX, RCx, 0, 2, 4, lg0), RepY, RCy,
+                    2, 4, 6, lg1)
+    # KB (k,r,e,u,v)
+    KB = bnd_step_y(slv_step(mom.KB, RepX, RCx, 0, 1, 3, lg0), RepY, RCy,
+                    3, 5, lg1)
+    # BK (j,r,e,u,v)
+    BK = slv_step_y(bnd_step(mom.BK, RepX, RCx, 1, 3, lg0), RepY, RCy,
+                    1, 3, 5, lg1)
     return PWMoments(MM=MM, BM=BM, MB=MB, BB=BB, KM=KM, MK=MK, KK=KK,
                      KB=KB, BK=BK)
+
 
 # ---------------------------------------------------------------------------
 # windowed correlation of an analytic truncated-power plane against moments
@@ -653,63 +718,176 @@ def pw_corr(A2: jnp.ndarray, mom: PWMoments, ax0: PWAxis, ax1: PWAxis
     """CC(plane_A, G_b)[rho, eps] = sum_xy A(x, y) G_b(x+rho, y+eps) (circular)
     for analytic planes with truncated-power rep A2 (a, M0, SP, M1, SP),
     against (possibly b-batched) moment classes of G. Returns (a, b, R0, R1);
-    squeezes b if the moment classes carry no batch axis."""
+    squeezes b if the moment classes carry no batch axis.
+
+    TPU note: these contractions have tiny contracted dims over large batch
+    dims — XLA lowers such f64 einsums to the slow exact dot path (~30 ms
+    each, measured). So the u/v transfer contractions are UNROLLED into
+    broadcast multiply-adds, and the final (m, s, l, t) contraction against
+    the A-side rep runs as ONE df64 matmul per channel (exact Pallas kernel
+    on TPU, plain f64 matmul on CPU)."""
     dt = A2.dtype
     M0, M1 = len(ax0.thr), len(ax1.thr)
+    K0, K1 = M0 - 1, M1 - 1
     SP = A2.shape[2]
+    R0, R1 = 2 * ax0.w + 1, 2 * ax1.w + 1
     squeeze = mom.MM.ndim == 4
     if squeeze:
         mom = PWMoments(*(t[None] for t in mom))
+    B = mom.MM.shape[0]
+    a_n = A2.shape[0]
 
     S0 = jnp.asarray(ax0.S, dt)
     S1 = jnp.asarray(ax1.S, dt)
     sg0 = np.where(ax0.lags > 0, -1.0, np.where(ax0.lags < 0, 1.0, 0.0))
     sg1 = np.where(ax1.lags > 0, -1.0, np.where(ax1.lags < 0, 1.0, 0.0))
-    KS0 = jnp.asarray(sg0[:, None, None] * ax0.S, dt)   # sliver transfer
+    KS0 = jnp.asarray(sg0[:, None, None] * ax0.S, dt)   # (R0, SP, SP)
     KS1 = jnp.asarray(sg1[:, None, None] * ax1.S, dt)
     TW0 = jnp.asarray(_bnd_transfer(ax0, SP), dt)       # (M0, R0, SP, SP)
     TW1 = jnp.asarray(_bnd_transfer(ax1, SP), dt)
 
-    e = jnp.einsum
-    # truncate moment powers to the A-side range
-    u = slice(0, SP)
-    out = 0.0
-    for m in range(M0):
-        for l in range(M1):
-            A = A2[:, m, :, l, :]                        # (a, s, t)
-            # (main, main)
-            out = out + e("ast,rsu,etv,buv->abre", A, S0, S1,
-                          mom.MM[:, m, u, l, u])
-            # (main, bnd)
-            out = out + e("ast,rsu,etv,buev->abre", A, S0, TW1[l],
-                          mom.MB[:, m, u, :, u])
-            # (bnd, main)
-            out = out + e("ast,rsu,etv,bruv->abre", A, TW0[m], S1,
-                          mom.BM[:, :, u, l, u])
-            # (bnd, bnd)
-            out = out + e("ast,rsu,etv,breuv->abre", A, TW0[m], TW1[l],
-                          mom.BB[:, :, :, u, u])
-            if l >= 1:
-                # (main, sliver)
-                out = out + e("ast,rsu,etv,buev->abre", A, S0, KS1,
-                              mom.MK[:, m, u, l - 1, :, u])
-                # (bnd, sliver)
-                out = out + e("ast,rsu,etv,breuv->abre", A, TW0[m], KS1,
-                              mom.BK[:, l - 1, :, :, u, u])
-            if m >= 1:
-                # (sliver, main)
-                out = out + e("ast,rsu,etv,bruv->abre", A, KS0, S1,
-                              mom.KM[:, m - 1, :, u, l, u])
-                # (sliver, bnd)
-                out = out + e("ast,rsu,etv,breuv->abre", A, KS0, TW1[l],
-                              mom.KB[:, m - 1, :, :, u, u])
-            if m >= 1 and l >= 1:
-                # (sliver, sliver)
-                out = out + e("ast,rsu,etv,breuv->abre", A, KS0, KS1,
-                              mom.KK[:, m - 1, l - 1, :, :, u, u])
+    uu = slice(0, SP)
+    out = jnp.zeros((a_n, B, R0, R1), dt)
+
+    def finish(A_slc, Z2):
+        """Z2 (B, XM, s, YL, t, r, e); A_slc (a, XM, SP, YL, SP)."""
+        K = int(np.prod(Z2.shape[1:5]))
+        W = A_slc.reshape(a_n, K)
+        G = jnp.moveaxis(Z2.reshape(B, K, R0 * R1), 1, 0).reshape(K, -1)
+        return _exact_skinny_matmul(W, G).reshape(a_n, B, R0, R1)
+
+    def x_suffix(Z1):
+        """Z1 (b, m, u, YL, t, e) -> Z2 (b, m, s, YL, t, r, e)."""
+        Z2 = 0.0
+        for u in range(SP):
+            Zu = Z1[:, :, u]                              # (b, m, YL, t, e)
+            s0 = S0[:, :, u].T                            # (s, r)
+            Z2 = Z2 + (Zu[:, :, None, :, :, None, :]
+                       * s0[None, None, :, None, None, :, None])
+        return Z2
+
+    def x_sliver(Z1):
+        """Z1 (b, k, YL, t, r, e) x-lag-resolved -> Z2 (b,k,s,YL,t,r,e)."""
+        Z2 = 0.0
+        for u in range(SP):
+            ks = KS0[:, :, u].T                           # (s, r)
+            Z2 = Z2 + (Z1[u][:, :, None, :, :, :, :]
+                       * ks[None, None, :, None, None, :, None])
+        return Z2
+
+    def x_bnd(Z1):
+        """Z1 list over u of (b, YL, t, r, e) -> Z2 (b, m, s, YL, t, r, e)."""
+        Z2 = 0.0
+        for u in range(SP):
+            tw = jnp.transpose(TW0[:, :, :, u], (0, 2, 1))  # (m, s, r)
+            Z2 = Z2 + (Z1[u][:, None, None, :, :, :, :]
+                       * tw[None, :, :, None, None, :, None])
+        return Z2
+
+    # ---- channel 1: (suffix, suffix) — mom.MM (b, m, u, l, v) -----------
+    MM = mom.MM[:, :, uu, :, uu]
+    Z1 = 0.0
+    for v in range(SP):
+        Z1 = Z1 + MM[..., v][..., None, None] * S1[:, :, v].T
+    # Z1 (b, m, u, l, t, e)
+    out = out + finish(A2, x_suffix(Z1))
+
+    # ---- channel 2: (suffix, sliver) — mom.MK (b, m, u, k, e, v) --------
+    if K1:
+        MK = mom.MK[:, :, uu, :, :, uu]
+        Z1 = 0.0
+        for v in range(SP):
+            ks = KS1[:, :, v]                             # (e, t)
+            Z1 = Z1 + MK[..., v][..., None] * ks[None, None, None, None, :, :]
+        # Z1 (b, m, u, k, e, t) -> (b, m, u, k, t, e)
+        Z1 = jnp.transpose(Z1, (0, 1, 2, 3, 5, 4))
+        out = out + finish(A2[:, :, :, 1:, :], x_suffix(Z1))
+
+    # ---- channel 3: (suffix, bnd) — mom.MB (b, m, u, e, v) --------------
+    MB = mom.MB[:, :, uu, :, uu]
+    Z1 = 0.0
+    for v in range(SP):
+        tw = jnp.transpose(TW1[:, :, :, v], (1, 0, 2))    # (e, l, t)
+        Z1 = Z1 + (MB[..., v][:, :, :, :, None, None]
+                   * tw[None, None, None, :, :, :])
+    # Z1 (b, m, u, e, l, t) -> (b, m, u, l, t, e)
+    Z1 = jnp.transpose(Z1, (0, 1, 2, 4, 5, 3))
+    out = out + finish(A2, x_suffix(Z1))
+
+    # ---- channel 4: (sliver, suffix) — mom.KM (b, k, r, u, l, v) --------
+    if K0:
+        KM = mom.KM[:, :, :, uu, :, uu]
+        Z1 = 0.0
+        for v in range(SP):
+            Z1 = Z1 + KM[..., v][..., None, None] * S1[:, :, v].T
+        # Z1 (b, k, r, u, l, t, e); x_sliver wants per-u (b, k, l, t, r, e)
+        Z1u = [jnp.transpose(Z1[:, :, :, u], (0, 1, 3, 4, 2, 5))
+               for u in range(SP)]
+        out = out + finish(A2[:, 1:], x_sliver(Z1u))
+
+    # ---- channel 5: (sliver, sliver) — mom.KK (b, k, j, r, e, u, v) -----
+    if K0 and K1:
+        KK = mom.KK[:, :, :, :, :, uu, uu]
+        Z1 = 0.0
+        for v in range(SP):
+            ks = KS1[:, :, v]                             # (e, t)
+            Z1 = Z1 + (KK[..., v][..., None]
+                       * ks[None, None, None, None, :, None, :])
+        # Z1 (b, k, j, r, e, u, t); per-u (b, k, j, t, r, e)
+        Z1u = [jnp.transpose(Z1[:, :, :, :, :, u], (0, 1, 2, 5, 3, 4))
+               for u in range(SP)]
+        out = out + finish(A2[:, 1:, :, 1:, :], x_sliver(Z1u))
+
+    # ---- channel 6: (sliver, bnd) — mom.KB (b, k, r, e, u, v) -----------
+    if K0:
+        KB = mom.KB[:, :, :, :, uu, uu]
+        Z1 = 0.0
+        for v in range(SP):
+            tw = jnp.transpose(TW1[:, :, :, v], (1, 0, 2))  # (e, l, t)
+            Z1 = Z1 + (KB[..., v][..., None, None]
+                       * tw[None, None, None, :, None, :, :])
+        # Z1 (b, k, r, e, u, l, t); per-u (b, k, l, t, r, e)
+        Z1u = [jnp.transpose(Z1[:, :, :, :, u], (0, 1, 4, 5, 2, 3))
+               for u in range(SP)]
+        out = out + finish(A2[:, 1:], x_sliver(Z1u))
+
+    # ---- channel 7: (bnd, suffix) — mom.BM (b, r, u, l, v) --------------
+    BM = mom.BM[:, :, uu, :, uu]
+    Z1 = 0.0
+    for v in range(SP):
+        Z1 = Z1 + BM[..., v][..., None, None] * S1[:, :, v].T
+    # Z1 (b, r, u, l, t, e); per-u (b, l, t, r, e)
+    Z1u = [jnp.transpose(Z1[:, :, u], (0, 2, 3, 1, 4)) for u in range(SP)]
+    out = out + finish(A2, x_bnd(Z1u))
+
+    # ---- channel 8: (bnd, sliver) — mom.BK (b, j, r, e, u, v) -----------
+    if K1:
+        BK = mom.BK[:, :, :, :, uu, uu]
+        Z1 = 0.0
+        for v in range(SP):
+            ks = KS1[:, :, v]                             # (e, t)
+            Z1 = Z1 + (BK[..., v][..., None]
+                       * ks[None, None, None, :, None, :])
+        # Z1 (b, j, r, e, u, t); per-u (b, j, t, r, e)
+        Z1u = [jnp.transpose(Z1[:, :, :, :, u], (0, 1, 4, 2, 3))
+               for u in range(SP)]
+        out = out + finish(A2[:, :, :, 1:, :], x_bnd(Z1u))
+
+    # ---- channel 9: (bnd, bnd) — mom.BB (b, r, e, u, v) -----------------
+    BB = mom.BB[:, :, :, uu, uu]
+    Z1 = 0.0
+    for v in range(SP):
+        tw = jnp.transpose(TW1[:, :, :, v], (1, 0, 2))    # (e, l, t)
+        Z1 = Z1 + (BB[..., v][..., None, None]
+                   * tw[None, None, :, None, :, :])
+    # Z1 (b, r, e, u, l, t); per-u (b, l, t, r, e)
+    Z1u = [jnp.transpose(Z1[:, :, :, u], (0, 3, 4, 1, 2)) for u in range(SP)]
+    out = out + finish(A2, x_bnd(Z1u))
+
     if squeeze:
         out = out[:, 0]
     return out
+
 
 # ---------------------------------------------------------------------------
 # the piecewise-polynomial peeled Greek backend
