@@ -23,9 +23,8 @@ from sfft_tpu.prep.crowded_prep import AutoCrowdedPrep
 
 class EasyCrowdedPacket:
     @staticmethod
-    def ECP(
-        FITS_REF: str, FITS_SCI: str, FITS_DIFF: Optional[str] = None,
-        FITS_Solution: Optional[str] = None, ForceConv: str = "AUTO",
+    def ECP_Prep(
+        FITS_REF: str, FITS_SCI: str, ForceConv: str = "AUTO",
         GKerHW: Optional[int] = None, KerHWRatio: float = 2.0,
         KerHWLimit: Tuple[int, int] = (2, 20), KerPolyOrder: int = 2,
         BGPolyOrder: int = 2, ConstPhotRatio: bool = True,
@@ -38,8 +37,11 @@ class EasyCrowdedPacket:
         BACKPHOTO_TYPE: str = "LOCAL", ONLY_FLAGS=None, BoundarySIZE: int = 0,
         BACK_SIZE_SUPER: int = 128, StarExt_iter: int = 2,
         PriorBanMask=None, VERBOSE_LEVEL: int = 1,
-        cfg_overrides: Optional[dict] = None,
-    ):
+        cfg_overrides: Optional[dict] = None, **_ignored,
+    ) -> dict:
+        """CPU preprocessing stage (Auto_CrowdedPrep + decisions + input
+        assembly); see EasySparsePacket.ESP_Prep for the overlap rationale.
+        Reference slice: MultiEasyCrowdedPacket preproc threads."""
         _ACP = AutoCrowdedPrep(
             FITS_REF=FITS_REF, FITS_SCI=FITS_SCI, GAIN_KEY=GAIN_KEY,
             SATUR_KEY=SATUR_KEY, BACK_TYPE=BACK_TYPE, BACK_VALUE=BACK_VALUE,
@@ -100,10 +102,46 @@ class EasyCrowdedPacket:
         else:
             PixA_I, PixA_J = base_I, base_J
 
+        return {
+            "SFFTPrepDict": SFFTPrepDict, "cfg": cfg, "ConvdSide": ConvdSide,
+            "KerHW": KerHW, "FWHM_REF": FWHM_REF, "FWHM_SCI": FWHM_SCI,
+            "PixA_I": PixA_I, "PixA_J": PixA_J,
+            "PixA_mI": PixA_mI, "PixA_mJ": PixA_mJ,
+            "ContamMask_I": ContamMask_I, "ContamMask_J": ContamMask_J,
+            "NaNmask_U": NaNmask_U,
+        }
+
+    @staticmethod
+    def ECP_Subtract(
+        prep: dict, FITS_REF: str, FITS_SCI: str,
+        FITS_DIFF: Optional[str] = None, FITS_Solution: Optional[str] = None,
+        KerPolyOrder: int = 2, BGPolyOrder: int = 2,
+        ConstPhotRatio: bool = True, MaskSatContam: bool = False,
+        VERBOSE_LEVEL: int = 1, precomputed=None, **_ignored,
+    ):
+        """Device stage: solve+subtract + post-processing + FITS output.
+        `precomputed=(Solution, PixA_DIFF)` skips the solve (mesh-batched
+        survey dispatch)."""
+        SFFTPrepDict = prep["SFFTPrepDict"]
+        cfg = prep["cfg"]
+        ConvdSide = prep["ConvdSide"]
+        KerHW = prep["KerHW"]
+        FWHM_REF = prep["FWHM_REF"]
+        FWHM_SCI = prep["FWHM_SCI"]
+        PixA_I, PixA_J = prep["PixA_I"], prep["PixA_J"]
+        PixA_mI, PixA_mJ = prep["PixA_mI"], prep["PixA_mJ"]
+        ContamMask_I = prep["ContamMask_I"]
+        ContamMask_J = prep["ContamMask_J"]
+        NaNmask_U = prep["NaNmask_U"]
+
         t0 = time.time()
-        Solution, diff, ContamMask_CI = GeneralSFFT.GSS(
-            PixA_I, PixA_J, PixA_mI, PixA_mJ, cfg, ContamMask_I=ContamMask_I
-        )
+        if precomputed is None:
+            Solution, diff, ContamMask_CI = GeneralSFFT.GSS(
+                PixA_I, PixA_J, PixA_mI, PixA_mJ, cfg, ContamMask_I=ContamMask_I
+            )
+        else:
+            Solution, diff = precomputed
+            ContamMask_CI = None
         Solution = np.asarray(Solution)
         PixA_DIFF = np.asarray(diff)
         if VERBOSE_LEVEL in (1, 2):
@@ -145,3 +183,25 @@ class EasyCrowdedPacket:
             write_solution_fits(FITS_Solution, Solution, cfg)
 
         return PixA_DIFF, SFFTPrepDict, Solution, SFFT_FSCAL_MEAN
+
+    @staticmethod
+    def ECP(
+        FITS_REF: str, FITS_SCI: str, FITS_DIFF: Optional[str] = None,
+        FITS_Solution: Optional[str] = None, ForceConv: str = "AUTO",
+        GKerHW: Optional[int] = None, KerHWRatio: float = 2.0,
+        KerHWLimit: Tuple[int, int] = (2, 20), KerPolyOrder: int = 2,
+        BGPolyOrder: int = 2, ConstPhotRatio: bool = True,
+        MaskSatContam: bool = False, GAIN_KEY: str = "GAIN",
+        SATUR_KEY: str = "SATURATE", BACK_TYPE: str = "AUTO",
+        BACK_VALUE: float = 0.0, BACK_SIZE: int = 64,
+        BACK_FILTERSIZE: int = 3, DETECT_THRESH: float = 5.0,
+        ANALYSIS_THRESH: float = 5.0, DETECT_MINAREA: int = 5,
+        DETECT_MAXAREA: int = 0, DEBLEND_MINCONT: float = 0.005,
+        BACKPHOTO_TYPE: str = "LOCAL", ONLY_FLAGS=None, BoundarySIZE: int = 0,
+        BACK_SIZE_SUPER: int = 128, StarExt_iter: int = 2,
+        PriorBanMask=None, VERBOSE_LEVEL: int = 1,
+        cfg_overrides: Optional[dict] = None,
+    ):
+        kw = dict(locals())
+        prep = EasyCrowdedPacket.ECP_Prep(**kw)
+        return EasyCrowdedPacket.ECP_Subtract(prep, **kw)

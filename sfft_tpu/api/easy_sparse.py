@@ -27,9 +27,8 @@ from sfft_tpu.prep.sparse_prep import AutoSparsePrep
 
 class EasySparsePacket:
     @staticmethod
-    def ESP(
-        FITS_REF: str, FITS_SCI: str, FITS_DIFF: Optional[str] = None,
-        FITS_Solution: Optional[str] = None, ForceConv: str = "AUTO",
+    def ESP_Prep(
+        FITS_REF: str, FITS_SCI: str, ForceConv: str = "AUTO",
         GKerHW: Optional[int] = None, KerHWRatio: float = 2.0,
         KerHWLimit: Tuple[int, int] = (2, 20), KerPolyOrder: int = 2,
         BGPolyOrder: int = 2, ConstPhotRatio: bool = True,
@@ -47,9 +46,14 @@ class EasySparsePacket:
         CVREJ_MAGD_THRESH: float = 0.12, ELABO_VAR_REJECTION: bool = False,
         EVREJ_RATIO_THREH: float = 5.0, EVREJ_SAFE_MAGDEV: float = 0.04,
         StarExt_iter: int = 4, XY_PriorBan=None,
-        PostAnomalyCheck: bool = False, PAC_RATIO_THRESH: float = 5.0,
         VERBOSE_LEVEL: int = 1, cfg_overrides: Optional[dict] = None,
-    ):
+        **_ignored,
+    ) -> dict:
+        """CPU preprocessing stage: Auto_SparsePrep + ConvdSide/KerHW decision
+        + masked/unmasked input assembly. Runs without touching the
+        accelerator, so a survey scheduler can overlap it with on-device
+        subtraction of other tasks (reference MultiEasySparsePacket.py:455-485
+        runs exactly this slice in the preproc threads)."""
         _ASP = AutoSparsePrep(
             FITS_REF=FITS_REF, FITS_SCI=FITS_SCI, GAIN_KEY=GAIN_KEY,
             SATUR_KEY=SATUR_KEY, BACK_TYPE=BACK_TYPE, BACK_VALUE=BACK_VALUE,
@@ -128,10 +132,49 @@ class EasySparsePacket:
         else:
             PixA_I, PixA_J = base_I, base_J
 
+        return {
+            "SFFTPrepDict": SFFTPrepDict, "cfg": cfg, "ConvdSide": ConvdSide,
+            "KerHW": KerHW, "FWHM_REF": FWHM_REF, "FWHM_SCI": FWHM_SCI,
+            "PixA_I": PixA_I, "PixA_J": PixA_J,
+            "PixA_mI": PixA_mI, "PixA_mJ": PixA_mJ,
+            "ContamMask_I": ContamMask_I, "ContamMask_J": ContamMask_J,
+            "NaNmask_U": NaNmask_U,
+        }
+
+    @staticmethod
+    def ESP_Subtract(
+        prep: dict, FITS_REF: str, FITS_SCI: str,
+        FITS_DIFF: Optional[str] = None, FITS_Solution: Optional[str] = None,
+        KerPolyOrder: int = 2, BGPolyOrder: int = 2,
+        ConstPhotRatio: bool = True, MaskSatContam: bool = False,
+        GAIN_KEY: str = "GAIN", SATUR_KEY: str = "ESATUR",
+        PostAnomalyCheck: bool = False, PAC_RATIO_THRESH: float = 5.0,
+        VERBOSE_LEVEL: int = 1, precomputed=None, **_ignored,
+    ):
+        """Device stage: solve+subtract on the prepped arrays, then all
+        post-processing (flux scaling, Post-Anomaly Check, FITS output).
+        `precomputed=(Solution, PixA_DIFF)` skips the solve — used by the
+        survey scheduler's mesh-batched dispatch."""
+        SFFTPrepDict = prep["SFFTPrepDict"]
+        cfg = prep["cfg"]
+        ConvdSide = prep["ConvdSide"]
+        KerHW = prep["KerHW"]
+        FWHM_REF = prep["FWHM_REF"]
+        FWHM_SCI = prep["FWHM_SCI"]
+        PixA_I, PixA_J = prep["PixA_I"], prep["PixA_J"]
+        PixA_mI, PixA_mJ = prep["PixA_mI"], prep["PixA_mJ"]
+        ContamMask_I = prep["ContamMask_I"]
+        ContamMask_J = prep["ContamMask_J"]
+        NaNmask_U = prep["NaNmask_U"]
+
         t0 = time.time()
-        Solution, diff, ContamMask_CI = GeneralSFFT.GSS(
-            PixA_I, PixA_J, PixA_mI, PixA_mJ, cfg, ContamMask_I=ContamMask_I
-        )
+        if precomputed is None:
+            Solution, diff, ContamMask_CI = GeneralSFFT.GSS(
+                PixA_I, PixA_J, PixA_mI, PixA_mJ, cfg, ContamMask_I=ContamMask_I
+            )
+        else:
+            Solution, diff = precomputed
+            ContamMask_CI = None
         Solution = np.asarray(Solution)
         PixA_DIFF = np.asarray(diff)
         if VERBOSE_LEVEL in (1, 2):
@@ -232,3 +275,31 @@ class EasySparsePacket:
             write_solution_fits(FITS_Solution, Solution, cfg)
 
         return PixA_DIFF, SFFTPrepDict, Solution, SFFT_FSCAL_MEAN, SFFT_FSCAL_SIG
+
+    @staticmethod
+    def ESP(
+        FITS_REF: str, FITS_SCI: str, FITS_DIFF: Optional[str] = None,
+        FITS_Solution: Optional[str] = None, ForceConv: str = "AUTO",
+        GKerHW: Optional[int] = None, KerHWRatio: float = 2.0,
+        KerHWLimit: Tuple[int, int] = (2, 20), KerPolyOrder: int = 2,
+        BGPolyOrder: int = 2, ConstPhotRatio: bool = True,
+        MaskSatContam: bool = False, GAIN_KEY: str = "GAIN",
+        SATUR_KEY: str = "ESATUR", BACK_TYPE: str = "MANUAL",
+        BACK_VALUE: float = 0.0, BACK_SIZE: int = 64,
+        BACK_FILTERSIZE: int = 3, DETECT_THRESH: float = 2.0,
+        ANALYSIS_THRESH: float = 2.0, DETECT_MINAREA: int = 5,
+        DETECT_MAXAREA: int = 0, DEBLEND_MINCONT: float = 0.005,
+        BACKPHOTO_TYPE: str = "LOCAL", ONLY_FLAGS=[0], BoundarySIZE: int = 30,
+        XY_PriorSelect=None, Hough_MINFR: float = 0.1,
+        Hough_PeakClip: float = 0.7, BeltHW: float = 0.2,
+        PointSource_MINELLIP: float = 0.3, MatchTol=None,
+        MatchTolFactor: float = 3.0, COARSE_VAR_REJECTION: bool = True,
+        CVREJ_MAGD_THRESH: float = 0.12, ELABO_VAR_REJECTION: bool = False,
+        EVREJ_RATIO_THREH: float = 5.0, EVREJ_SAFE_MAGDEV: float = 0.04,
+        StarExt_iter: int = 4, XY_PriorBan=None,
+        PostAnomalyCheck: bool = False, PAC_RATIO_THRESH: float = 5.0,
+        VERBOSE_LEVEL: int = 1, cfg_overrides: Optional[dict] = None,
+    ):
+        kw = dict(locals())
+        prep = EasySparsePacket.ESP_Prep(**kw)
+        return EasySparsePacket.ESP_Subtract(prep, **kw)

@@ -132,6 +132,132 @@ class MultiTaskScheduler:
                   f"{self.num_tasks}] in [{time.time()-t0:.1f} s]!")
         return self.status, self.products
 
+    def run_prep_only(self) -> None:
+        """Run only the preprocessing pool (statuses end at PREP_OK/PREP_FAIL);
+        used by the mesh-batched dispatch, which needs all prep products up
+        front to group homogeneous tasks."""
+        threads = [threading.Thread(target=self._prep_worker)
+                   for _ in range(self.nprep)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+
+def run_mesh_batched(
+    num_tasks: int,
+    prep_fn: Callable[[int], dict],
+    subtract_fn: Callable,
+    group_inputs: Callable[[dict], tuple],
+    NUM_THREADS_4PREPROC: int = 4,
+    TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
+    TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
+    VERBOSE_LEVEL: int = 1,
+    mesh=None,
+) -> Tuple[Dict[int, int], Dict[int, dict]]:
+    """Survey dispatch with homogeneous-group mesh batching.
+
+    Preprocess all tasks in a thread pool, group the survivors by their static
+    SFFTConfig (which pins shape + kernel HW + bases), and run each group of
+    size >= 2 as ONE sharded array program over the device mesh
+    (sfft_tpu/parallel/batch.py) — the TPU-native replacement for the
+    reference's one-thread-per-CUDA-device queue
+    (sfft/MultiEasySparsePacket.py:510-552). Singleton groups and tasks
+    needing contamination propagation take the per-task path. `group_inputs`
+    maps a prep product to (cfg, I, J, mI, mJ, batchable: bool); per-task
+    post-processing still runs through `subtract_fn(tid, prep, precomputed)`.
+    """
+    from sfft_tpu.parallel.batch import batched_subtract, make_data_mesh
+
+    sched = MultiTaskScheduler(
+        num_tasks, prep_fn, lambda tid, prep: None,
+        NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
+        NUM_THREADS_4SUBTRACT=0,
+        TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
+        VERBOSE_LEVEL=VERBOSE_LEVEL,
+    )
+    t0 = time.time()
+    sched.run_prep_only()
+    status, products = sched.status, sched.products
+
+    groups: Dict[object, List[int]] = {}
+    solo: List[int] = []
+    for tid in range(num_tasks):
+        if status[tid] != STATUS_PREP_OK:
+            continue
+        cfg, I, J, mI, mJ, batchable = group_inputs(products[tid]["prep"])
+        if batchable:
+            groups.setdefault(cfg, []).append(tid)
+        else:
+            solo.append(tid)
+
+    if mesh is None:
+        mesh = make_data_mesh()
+    nd = mesh.devices.size
+
+    def _finish(tid: int, precomputed) -> None:
+        status[tid] = STATUS_SUB_RUNNING
+        try:
+            with TimeoutAfter(TIMEOUT_4SUBTRACT_EACHTASK):
+                result = subtract_fn(tid, products[tid]["prep"],
+                                     precomputed=precomputed)
+            products[tid]["result"] = result
+            status[tid] = STATUS_OK
+        except (Exception, TimeoutError_):
+            if VERBOSE_LEVEL >= 1:
+                traceback.print_exc()
+            status[tid] = STATUS_FAIL
+
+    for cfg, tids in groups.items():
+        if len(tids) < 2:
+            solo.extend(tids)
+            continue
+        try:
+            stacks = []
+            for key in range(4):
+                arrs = [group_inputs(products[t]["prep"])[1 + key] for t in tids]
+                stacks.append(np.stack(arrs))
+            # pad to a multiple of the mesh size by repeating the last pair
+            pad = (-len(tids)) % nd
+            if pad:
+                stacks = [np.concatenate([s, np.repeat(s[-1:], pad, axis=0)])
+                          for s in stacks]
+            with TimeoutAfter(TIMEOUT_4SUBTRACT_EACHTASK * len(tids)):
+                sols, diffs, _rms = batched_subtract(*stacks, cfg, mesh)
+                sols = np.asarray(sols)
+                diffs = np.asarray(diffs)
+            if VERBOSE_LEVEL >= 1:
+                print(f"MeLOn CheckPoint: MESH-BATCHED [{len(tids)}] tasks "
+                      f"(+{pad} pad) over [{nd}] devices for config "
+                      f"{cfg.N0}x{cfg.N1} KerHW={cfg.w0}!")
+            for k, tid in enumerate(tids):
+                _finish(tid, (sols[k], diffs[k]))
+        except (Exception, TimeoutError_):
+            if VERBOSE_LEVEL >= 1:
+                traceback.print_exc()
+                print("MeLOn WARNING: mesh-batched dispatch failed; "
+                      "falling back to per-task path!")
+            solo.extend(t for t in tids if status[t] == STATUS_PREP_OK)
+
+    for tid in solo:
+        _finish(tid, None)
+
+    ok = sum(1 for s in status.values() if s == STATUS_OK)
+    if VERBOSE_LEVEL >= 1:
+        print(f"MeLOn CheckPoint: MULTI-TASK SUCCESS [{ok} / "
+              f"{num_tasks}] in [{time.time()-t0:.1f} s]!")
+    return status, products
+
+
+def _prep_group_inputs(prep: dict) -> tuple:
+    """(cfg, I, J, mI, mJ, batchable) from an ESP_Prep/ECP_Prep product.
+    Contamination-mask propagation needs an extra kernel pass per task
+    (GeneralSFFT.GSS), so such tasks are not mesh-batchable."""
+    return (
+        prep["cfg"], prep["PixA_I"], prep["PixA_J"],
+        prep["PixA_mI"], prep["PixA_mJ"], prep["ContamMask_I"] is None,
+    )
+
 
 class MultiEasySparsePacket:
     """Reference MultiEasy_SparsePacket.MESP equivalent."""
@@ -157,23 +283,42 @@ class MultiEasySparsePacket:
              NUM_THREADS_4SUBTRACT: int = 1,
              TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
              TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
+             MESH_BATCH: bool = False, mesh=None,
              VERBOSE_LEVEL: int = 1):
+        """MESH_BATCH=False: pipelined two-stage dispatch — CPU preprocessing
+        threads overlap the device subtraction loop, reference semantics
+        (sfft/MultiEasySparsePacket.py:930-940). MESH_BATCH=True: preprocess
+        everything, then run homogeneous-config groups as sharded array
+        programs over the device mesh."""
         from sfft_tpu.api.easy_sparse import EasySparsePacket
 
         def prep_fn(tid):
-            return tid  # preprocessing folded into ESP for simplicity of API
-
-        def subtract_fn(tid, _):
-            return EasySparsePacket.ESP(
+            return EasySparsePacket.ESP_Prep(
                 FITS_REF=self.FITS_REF_Queue[tid],
                 FITS_SCI=self.FITS_SCI_Queue[tid],
-                FITS_DIFF=self.FITS_DIFF_Queue[tid],
-                FITS_Solution=self.FITS_Solution_Queue[tid],
                 ForceConv=self.ForceConv_Queue[tid],
                 GKerHW=self.GKerHW_Queue[tid],
                 VERBOSE_LEVEL=0, **self.esp_kwargs,
             )
 
+        def subtract_fn(tid, prep, precomputed=None):
+            return EasySparsePacket.ESP_Subtract(
+                prep,
+                FITS_REF=self.FITS_REF_Queue[tid],
+                FITS_SCI=self.FITS_SCI_Queue[tid],
+                FITS_DIFF=self.FITS_DIFF_Queue[tid],
+                FITS_Solution=self.FITS_Solution_Queue[tid],
+                VERBOSE_LEVEL=0, precomputed=precomputed, **self.esp_kwargs,
+            )
+
+        if MESH_BATCH:
+            return run_mesh_batched(
+                self.n, prep_fn, subtract_fn, _prep_group_inputs,
+                NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
+                TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
+                TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
+                VERBOSE_LEVEL=VERBOSE_LEVEL, mesh=mesh,
+            )
         sched = MultiTaskScheduler(
             self.n, prep_fn, subtract_fn,
             NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
@@ -205,23 +350,37 @@ class MultiEasyCrowdedPacket:
              NUM_THREADS_4SUBTRACT: int = 1,
              TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
              TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
+             MESH_BATCH: bool = False, mesh=None,
              VERBOSE_LEVEL: int = 1):
         from sfft_tpu.api.easy_crowded import EasyCrowdedPacket
 
         def prep_fn(tid):
-            return tid
-
-        def subtract_fn(tid, _):
-            return EasyCrowdedPacket.ECP(
+            return EasyCrowdedPacket.ECP_Prep(
                 FITS_REF=self.FITS_REF_Queue[tid],
                 FITS_SCI=self.FITS_SCI_Queue[tid],
-                FITS_DIFF=self.FITS_DIFF_Queue[tid],
-                FITS_Solution=self.FITS_Solution_Queue[tid],
                 ForceConv=self.ForceConv_Queue[tid],
                 GKerHW=self.GKerHW_Queue[tid],
                 VERBOSE_LEVEL=0, **self.ecp_kwargs,
             )
 
+        def subtract_fn(tid, prep, precomputed=None):
+            return EasyCrowdedPacket.ECP_Subtract(
+                prep,
+                FITS_REF=self.FITS_REF_Queue[tid],
+                FITS_SCI=self.FITS_SCI_Queue[tid],
+                FITS_DIFF=self.FITS_DIFF_Queue[tid],
+                FITS_Solution=self.FITS_Solution_Queue[tid],
+                VERBOSE_LEVEL=0, precomputed=precomputed, **self.ecp_kwargs,
+            )
+
+        if MESH_BATCH:
+            return run_mesh_batched(
+                self.n, prep_fn, subtract_fn, _prep_group_inputs,
+                NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
+                TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
+                TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
+                VERBOSE_LEVEL=VERBOSE_LEVEL, mesh=mesh,
+            )
         sched = MultiTaskScheduler(
             self.n, prep_fn, subtract_fn,
             NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,

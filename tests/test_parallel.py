@@ -125,3 +125,95 @@ def test_sharded_subtract_step():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(diff), np.asarray(diff_ref),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_mesp_prep_overlaps_subtract(tmp_path, monkeypatch):
+    """MESP must run preprocessing in the prep stage (not folded into the
+    subtract stage), so prep of later tasks overlaps subtraction of earlier
+    ones (reference MultiEasySparsePacket.py:930-940)."""
+    from sfft_tpu.api.easy_sparse import EasySparsePacket
+    from sfft_tpu.parallel.scheduler import MultiEasySparsePacket, STATUS_OK
+
+    events = []
+
+    def fake_prep(FITS_REF, FITS_SCI, **kw):
+        tid = int(FITS_REF[-6])
+        events.append(("prep_start", tid, time.time()))
+        time.sleep(0.3 if tid == 1 else 0.05)
+        events.append(("prep_end", tid, time.time()))
+        return {"tid": tid}
+
+    def fake_subtract(prep, FITS_REF, **kw):
+        tid = prep["tid"]
+        events.append(("sub_start", tid, time.time()))
+        time.sleep(0.1)
+        events.append(("sub_end", tid, time.time()))
+        return tid
+
+    monkeypatch.setattr(EasySparsePacket, "ESP_Prep", staticmethod(fake_prep))
+    monkeypatch.setattr(EasySparsePacket, "ESP_Subtract", staticmethod(fake_subtract))
+
+    refs = [f"/fake/ref{t}.fits" for t in range(2)]
+    scis = [f"/fake/sci{t}.fits" for t in range(2)]
+    mesp = MultiEasySparsePacket(refs, scis)
+    status, products = mesp.MESP(NUM_THREADS_4PREPROC=2,
+                                 NUM_THREADS_4SUBTRACT=1, VERBOSE_LEVEL=0)
+    assert all(s == STATUS_OK for s in status.values())
+    t = {(kind, tid): tt for kind, tid, tt in events}
+    # subtraction of task 0 started while prep of task 1 was still running
+    assert t[("sub_start", 0)] < t[("prep_end", 1)]
+    # and the prep product flowed into the subtract stage
+    assert products[0]["result"] == 0 and products[1]["result"] == 1
+
+
+def test_mesp_mesh_batch(tmp_path, monkeypatch):
+    """Homogeneous (shape, config) tasks are dispatched as one sharded array
+    program over the device mesh."""
+    from sfft_tpu.io import fits
+    from sfft_tpu.api.easy_sparse import EasySparsePacket
+    from sfft_tpu.parallel import batch as batch_mod
+    from sfft_tpu.parallel import scheduler as sched_mod
+    from sfft_tpu.parallel.scheduler import MultiEasySparsePacket, STATUS_OK
+    from tests.test_prep import synth_field
+
+    rng = np.random.default_rng(21)
+    ref, truth = synth_field(rng, N0=256, N1=256, nstars=120, fwhm=2.8, bg=0.0)
+    sci, _ = synth_field(rng, N0=256, N1=256, nstars=0, fwhm=3.5, bg=0.0)
+    yy, xx = np.meshgrid(np.arange(256), np.arange(256))
+    sig = 3.5 / 2.355
+    for x0, y0, f in truth:
+        sci += 1.15 * f / (2 * np.pi * sig**2) * np.exp(
+            -((xx - x0) ** 2 + (yy - y0) ** 2) / (2 * sig**2))
+    hdr = fits.Header()
+    hdr.add("GAIN", 1.0)
+    hdr.add("ESATUR", 1.0e9)
+    fits.write(str(tmp_path / "ref.fits"), ref.T, hdr)
+    fits.write(str(tmp_path / "sci.fits"), sci.T, hdr)
+
+    calls = []
+    real_batched = batch_mod.batched_subtract
+
+    def spy(*args, **kw):
+        calls.append(args[0].shape)
+        return real_batched(*args, **kw)
+
+    monkeypatch.setattr(batch_mod, "batched_subtract", spy)
+
+    ntask = 3
+    refs = [str(tmp_path / "ref.fits")] * ntask
+    scis = [str(tmp_path / "sci.fits")] * ntask
+    diffs = [str(tmp_path / f"diff{t}.fits") for t in range(ntask)]
+    mesp = MultiEasySparsePacket(refs, scis, FITS_DIFF_Queue=diffs,
+                                 GKerHW_Queue=[3] * ntask)
+    status, products = mesp.MESP(NUM_THREADS_4PREPROC=2, MESH_BATCH=True,
+                                 VERBOSE_LEVEL=0)
+    assert all(s == STATUS_OK for s in status.values())
+    # one mesh dispatch, padded from 3 tasks to the 8-device mesh size
+    assert calls == [(8, 256, 256)]
+    # batched result matches the per-task path
+    diff_b, _, sol_b, _, _ = products[0]["result"]
+    diff_s, _, sol_s, _, _ = EasySparsePacket.ESP(
+        str(tmp_path / "ref.fits"), str(tmp_path / "sci.fits"),
+        GKerHW=3, VERBOSE_LEVEL=0)
+    np.testing.assert_allclose(sol_b, sol_s, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(diff_b, diff_s, rtol=1e-6, atol=1e-8)
