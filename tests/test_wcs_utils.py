@@ -122,3 +122,69 @@ def test_image_zoom_rotate(rng):
     # zoom conserves flux
     z = ImageZoomRotate.IZR(psf, ZOOM_SCAL_x=1.3, ZOOM_SCAL_y=1.3)
     assert abs(z.sum() - psf.sum()) / psf.sum() < 0.02
+
+
+def test_pyswarp_binary_path_with_stub(tmp_path, monkeypatch):
+    """Drive the swarp subprocess path end-to-end against a stub `swarp`
+    executable that honours -dd, config patching, the .head target grid and
+    weight-map output (reference PY_SWarp.PS semantics)."""
+    import os
+    import stat
+    import sys
+
+    from sfft_tpu.io import fits as sfits
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(sfits.__file__))))
+    stub = tmp_path / "swarp"
+    stub.write_text(f"""#!{sys.executable}
+import sys, os
+sys.path.insert(0, {repr(repo_root)})
+import numpy as np
+from sfft_tpu.io import fits
+if "-dd" in sys.argv:
+    print("IMAGEOUT_NAME coadd.fits")
+    print("WEIGHTOUT_NAME coadd.weight.fits")
+    print("RESAMPLING_TYPE LANCZOS3")
+    print("SUBTRACT_BACK Y")
+    raise SystemExit(0)
+conf = sys.argv[sys.argv.index("-c") + 1]
+kv = {{}}
+for line in open(conf):
+    parts = line.split()
+    if len(parts) >= 2:
+        kv[parts[0]] = parts[1]
+assert kv["SUBTRACT_BACK"] == "N"
+out_name = kv["IMAGEOUT_NAME"]
+head = out_name[:-5] + ".head"
+assert os.path.exists(head), "missing .head target grid"
+htxt = open(head).read()
+assert "NAXIS1" in htxt and "CRVAL1" in htxt
+src = fits.getdata(sys.argv[1]).astype(np.float64)
+wt = np.ones_like(src); wt[:2, :] = 0.0
+hdr = fits.Header(); hdr.add("SATURATE", 12345.0)
+fits.write(out_name, src + 1.0, hdr)
+fits.write(kv["WEIGHTOUT_NAME"], wt)
+""")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+
+    img = 50.0 + np.arange(300.0).reshape(15, 20)
+    h_obj = tan_header(rot_deg=2.0, crpix=(8.0, 8.0))
+    h_obj.add("SATURATE", 60000.0)
+    h_obj.add("GAIN", 2.0)
+    h_ref = tan_header(rot_deg=0.0, crpix=(7.5, 7.5))
+    fits.write(str(tmp_path / "obj.fits"), img, h_obj)
+    fits.write(str(tmp_path / "ref.fits"), np.zeros_like(img), h_ref)
+
+    from sfft_tpu.prep.resample import PYSWarp
+    out = PYSWarp.PS(str(tmp_path / "obj.fits"), str(tmp_path / "ref.fits"),
+                     str(tmp_path / "resamp.fits"), FILL_VALUE=np.nan,
+                     use_binary=True, VERBOSE_LEVEL=0)
+    assert np.isnan(out[:2, :]).all()          # weight==0 filled
+    assert np.allclose(out[2:], img[2:] + 1.0)  # stub's resample
+    _, hdr_out = fits.read(str(tmp_path / "resamp.fits"))
+    assert hdr_out["SWARP_O"] == "obj.fits"
+    assert hdr_out["SATURATE"] == 12345.0      # swarp-updated satur level
+    assert hdr_out["GAIN"] == 2.0              # base header preserved
+    assert abs(hdr_out["CRPIX1"] - 7.5) < 1e-9  # ref WCS grid
