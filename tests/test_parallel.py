@@ -217,3 +217,56 @@ def test_mesp_mesh_batch(tmp_path, monkeypatch):
         GKerHW=3, VERBOSE_LEVEL=0)
     np.testing.assert_allclose(sol_b, sol_s, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(diff_b, diff_s, rtol=1e-6, atol=1e-8)
+
+
+def test_multihost_single_process(rng):
+    """Multi-host survey machinery degenerates correctly to one process:
+    no distributed init, global mesh = local mesh, process-local batch
+    round-trips through global sharded arrays and matches the plain path."""
+    from sfft_tpu.parallel import multihost as mh
+    from sfft_tpu.parallel.batch import batched_subtract
+    from tests.test_engine import make_pair, base_cfg
+
+    assert mh.init_multihost() == 1  # no-op single process
+    spec = mh.MultiHostSpec.from_env()
+    assert spec.num_processes == 1
+
+    # task assignment covers every task exactly once across fake processes
+    for pc in (1, 3, 5):
+        got = np.concatenate([mh.assign_tasks(11, p, pc) for p in range(pc)])
+        np.testing.assert_array_equal(np.sort(got), np.arange(11))
+
+    cfg = base_cfg(N0=32, N1=32, w=1)
+    Is, Js = [], []
+    for k in range(8):
+        I, J = make_pair(rng, N0=32, N1=32)
+        Is.append(I)
+        Js.append(J)
+    I = np.stack(Is)
+    J = np.stack(Js)
+    mesh = mh.global_data_mesh()
+    sols, diffs, rms = mh.process_local_batch(I, J, I, J, cfg, mesh)
+    sols_ref, diffs_ref, _ = batched_subtract(I, J, I, J, cfg)
+    np.testing.assert_allclose(sols, np.asarray(sols_ref), rtol=1e-12)
+    np.testing.assert_allclose(diffs, np.asarray(diffs_ref), rtol=1e-12)
+
+
+def test_multihost_survey_driver(rng):
+    """run_survey_multihost: single process, 11 tasks over 8 devices ->
+    two collective batches with padding; every task gets a result."""
+    from sfft_tpu.parallel import multihost as mh
+    from tests.test_engine import make_pair, base_cfg
+
+    cfg = base_cfg(N0=32, N1=32, w=1)
+    pairs = list(range(11))
+    data = {}
+    for t in pairs:
+        I, J = make_pair(np.random.default_rng(t), N0=32, N1=32)
+        data[t] = (I, J, I, J)
+
+    results = mh.run_survey_multihost(pairs, lambda t: data[t], cfg)
+    assert sorted(results) == pairs
+    for t in pairs:
+        sol, rms = results[t]
+        assert sol.shape == (cfg.NEQ,)
+        assert np.isfinite(rms)
