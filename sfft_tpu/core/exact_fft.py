@@ -1,0 +1,473 @@
+"""Exact-grade (double-float) FFT and windowed correlation on TPU via
+integer-sliced MXU matmuls (Ozaki-style) + compensated f32 pair arithmetic.
+
+Why this exists: the f64 parity contract (BASELINE.md: difference matches the
+reference to 1e-6 RMS) requires the normal-equation correlation tables to
+~1e-13 *norm-wise* relative accuracy (measured sensitivity: 1e-13 table noise
+-> 3e-7 solution error; 1e-7 -> 0.75). TPU has no complex128 FFT, c64 FFT has
+~1e-7 rounding, and XLA's fast f64 emulation is ~1e-7 for large contractions.
+This module reaches ~1e-14 using only hardware-fast primitives:
+
+  * numbers ride as PAIRS of f32 planes (hi + lo ~ 48-53 bits);
+  * every large contraction (DFT butterflies, partial inverse-DFT windows) is
+    decomposed into 6-bit integer slices; slice products are int8 x int8 ->
+    int32 `lax.dot_general`s whose accumulation is EXACT on the MXU (verified
+    on hardware), recombined in compensated f32 pair arithmetic;
+  * DFTs use a two-stage Cooley-Tukey factorization N = R*S so the per-stage
+    matmuls are small ((R x R) and (S x S) with twiddles folded into the
+    second stage's per-batch static matrices), keeping total slice-matmul
+    work ~45 * 2N sqrt(N) MACs per axis instead of 45 * N^2.
+
+Validated: 1D/2D spectra to ~1e-14 norm-wise of exact f64 FFT; windowed
+correlation tables to ~3e-14 entrywise (prototype + tests/test_exact_fft.py).
+
+Replaces (for the 'exact' Greek backend) the reference's complex128
+HadProd/FFT pipeline (sfft/sfftcore/SFFTSubtract.py:145-168, 224-383) with a
+TPU-native equivalent that holds the full f64 contract for ARBITRARY spatial
+bases — polynomial or B-spline with any knot layout (no smoothness or knot-
+spacing assumptions, unlike the peel backends in core/peel.py, core/peel_pw.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+NB = 6                  # bits per integer slice
+NSL_DATA = 9            # data slices (54 bits)
+NSL_STATIC = 9          # static-matrix slices
+KMAX = 8                # keep slice combos with i + j <= KMAX
+
+
+# ---------------------------------------------------------------------------
+# pair (double-float) helpers — all f32 elementwise
+# ---------------------------------------------------------------------------
+
+
+class CPair(NamedTuple):
+    """Complex array as four f32 planes (real hi/lo, imag hi/lo); imag parts
+    None for a real array. hi + lo carries ~48 bits of significand."""
+
+    rh: jnp.ndarray
+    rl: jnp.ndarray
+    ih: Optional[jnp.ndarray]
+    il: Optional[jnp.ndarray]
+
+    @property
+    def is_real(self) -> bool:
+        return self.ih is None
+
+
+def pair_from_f64(x: jnp.ndarray) -> CPair:
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return CPair(hi, lo, None, None)
+
+
+def pair_to_c128(p: CPair):
+    re = p.rh.astype(jnp.float64) + p.rl
+    if p.ih is None:
+        return re
+    return re + 1j * (p.ih.astype(jnp.float64) + p.il)
+
+
+def _fence(x):
+    """Compiler fence for compensated arithmetic: identity on finite floats,
+    but opaque to both optimizer levels that break error-free transforms.
+
+    Why not lax.optimization_barrier: XLA removes it before fusion, after
+    which (a) the algebraic simplifier's FP rewrites can cancel compensation
+    patterns, and (b) XLA:CPU duplicates producer muls into consumer fusions
+    where LLVM contracts mul+add into FMA — changing fl(a+b) when an operand
+    is a product, which breaks TwoSum's exactness (measured: half-ulp errors,
+    2^11 absolute on 2^47 spectra products). copysign(|x|, x) survives to
+    codegen (neither XLA algsimp nor LLVM DAGCombine folds it) and its result
+    is not an fmul node, so no contraction pattern matches through it.
+    Verified: with this fence jitted TwoSum-of-products error is exactly 0."""
+    return jnp.copysign(jnp.abs(x), x)
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum in f32: a + b = s + e exactly (fenced, see _fence)."""
+    a = _fence(a)
+    b = _fence(b)
+    s = _fence(a + b)
+    v = _fence(s - a)
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _chain(groups, weights):
+    """Compensated sum of f32 tensors with static power-of-2 weights
+    (descending). Returns (hi, lo) f32. Exact-integer group values."""
+    h = groups[0] * np.float32(weights[0])
+    l = jnp.zeros_like(h)
+    for g, w in zip(groups[1:], weights[1:]):
+        h, e = _two_sum(h, g * np.float32(w))
+        l = l + e
+    # renormalize (fence: stops (h + l) - h -> l from erasing the low part)
+    h2 = _fence(h + l)
+    l2 = l - (h2 - h)
+    return h2, l2
+
+
+# ---------------------------------------------------------------------------
+# integer slicing
+# ---------------------------------------------------------------------------
+
+
+def _pow2ceil_scalar(m):
+    """Traced EXACT power-of-2 > m (elementwise). exp2(ceil(log2(m))) is not
+    an option: XLA's f32 exp2 is an approximation and returns non-powers-of-2
+    (e.g. 8192.0039), which silently breaks the exact-division invariant the
+    integer slicing relies on. Extract the exponent from the f32 bit pattern
+    instead: s = 2^(biased_exponent - 126), i.e. the power of two in (m, 2m]."""
+    m = jnp.maximum(m.astype(jnp.float32), jnp.float32(1e-30))
+    bits = lax.bitcast_convert_type(m, jnp.int32)
+    expo = (bits >> 23) & 0xFF
+    s_bits = (expo + 1) << 23
+    return lax.bitcast_convert_type(s_bits, jnp.float32)
+
+
+def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
+                     rowwise: bool = False):
+    """(hi, lo) f32 -> (slices int8 stacked on axis 0, pow-2 scale).
+    value == scale * sum_q slices[q] * 2^{-NB (q+1)}  (+ O(2^-NB*nsl)).
+
+    rowwise=True scales per row (all leading dims, max over the last axis,
+    shape (..., 1)): essential when row magnitudes span many orders (e.g.
+    cross-spectra, whose DC row dwarfs everything) — a global scale would
+    throw away the small rows' significance."""
+    if rowwise:
+        s = _pow2ceil_scalar(jnp.max(jnp.abs(hi), axis=-1, keepdims=True))
+    else:
+        s = _pow2ceil_scalar(jnp.max(jnp.abs(hi)))
+    # Canonicalize so |lo| <= ulp(hi)/2 (pair lows produced by _chain can
+    # reach ~2 ulp; un-canonicalized lows overflowed the post-injection slice
+    # past the int8 range and WRAPPED — measured 3e3 absolute table error).
+    hi2 = _fence(hi + lo)
+    lo = lo - (hi2 - hi)
+    hi = hi2
+    r = hi / s
+    out = []
+    inject = 4  # hi fully consumed after ceil(24/NB) = 4 slices
+    for q in range(nsl):
+        sc = np.float32(2.0 ** (NB * (q + 1)))
+        p = jnp.round(r * sc)
+        out.append(p.astype(jnp.int8))
+        r = r - p / sc
+        if q == inject - 1:
+            r = r + lo / s
+    return jnp.stack(out), s
+
+
+@lru_cache(maxsize=256)
+def _static_slices_np(key, nsl=NSL_STATIC):
+    raise RuntimeError("use _slice_static directly")
+
+
+def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC):
+    """Static real matrix -> (int8 slices (nsl, ...), pow2 scale). numpy."""
+    mx = np.max(np.abs(M))
+    s = float(2.0 ** np.ceil(np.log2(mx))) if mx > 0 else 1.0
+    r = (M / s).astype(np.float64)
+    out = []
+    for q in range(nsl):
+        sc = 2.0 ** (NB * (q + 1))
+        p = np.round(r * sc)
+        assert np.max(np.abs(p)) <= 127
+        out.append(p.astype(np.int8))
+        r = r - p / sc
+    return np.stack(out), s
+
+
+def _group_combos(nsl_d: int, nsl_w: int, kmax: int):
+    """combo (i, j) lists per weight group s = i + j."""
+    groups = []
+    for s_ in range(min(kmax, nsl_d + nsl_w - 2) + 1):
+        combos = [(i, s_ - i) for i in range(max(0, s_ - nsl_w + 1),
+                                             min(nsl_d - 1, s_) + 1)]
+        if combos:
+            groups.append((s_, combos))
+    return groups
+
+
+def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool):
+    """Exact product contraction: data slices dsl (nsl_d, ..., K) int8 against
+    static slices Wsl (nsl_w, [B,] K, M) int8 -> f32 pair of (..., M) (or
+    batched (..., B-interleaved, M); see _dft_stage2). Per weight group one
+    int8 dot with slices CONCATENATED along the contraction axis (group sums
+    accumulate in int32 exactly: |prod| < 2^12, depth <= ~9*4096 < 2^17.5)."""
+    nsl_d = dsl.shape[0]
+    nsl_w = Wsl.shape[0]
+    groups = _group_combos(nsl_d, nsl_w, KMAX)
+    outs = []
+    weights = []
+    for s_, combos in groups:
+        dcat = jnp.concatenate([dsl[i] for i, _ in combos], axis=-1)
+        wcat = jnp.concatenate([Wsl[j] for _, j in combos],
+                               axis=-2 if not batch_static else 1)
+        if batch_static:
+            # data (..., B, Kc), static (B, Kc, M): batch over B
+            out = lax.dot_general(
+                dcat, wcat,
+                (((dcat.ndim - 1,), (1,)), ((dcat.ndim - 2,), (0,))),
+                preferred_element_type=jnp.int32)
+            # dims: (B, ..., M) -> (..., B, M)
+            out = jnp.moveaxis(out, 0, -2)
+        else:
+            out = lax.dot_general(
+                dcat, wcat, (((dcat.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        w_ = 2.0 ** (-NB * (s_ + 2))
+        bound = 33 * 33 * dcat.shape[-1]
+        if bound >= 2 ** 24:
+            # int32 -> f32 would round (|value| can exceed 2^24): split the
+            # integer exactly into a 2^12-aligned top and a small remainder
+            top = (out >> 12) << 12
+            rem = out - top
+            outs.append(top.astype(jnp.float32))
+            weights.append(w_)
+            outs.append(rem.astype(jnp.float32))
+            weights.append(w_)
+        else:
+            outs.append(out.astype(jnp.float32))
+            weights.append(w_)
+    h, l = _chain(outs, weights)
+    sc = s_d * np.float32(s_w)
+    return h * sc, l * sc
+
+
+def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
+                    batch_static: bool = False,
+                    rowwise: bool = False) -> CPair:
+    """Exact complex matmul: data (..., K) pair  @  static complex W.
+    W layouts: (K, M), or (B, K, M) with batch_static=True batching over the
+    data's axis -2. Returns pair (..., M) (batched: (..., B, M))."""
+    wr_sl, swr = _slice_static(Wre)
+    dr_sl, sdr = _slice_pair_real(data.rh, data.rl, NSL_DATA, rowwise)
+    have_wi = Wim is not None and np.max(np.abs(Wim)) > 0
+    if have_wi:
+        wi_sl, swi = _slice_static(Wim)
+    if not data.is_real:
+        di_sl, sdi = _slice_pair_real(data.ih, data.il, NSL_DATA, rowwise)
+
+    rr_h, rr_l = _sliced_dot(dr_sl, sdr, wr_sl, swr, batch_static)
+    if have_wi:
+        ri_h, ri_l = _sliced_dot(dr_sl, sdr, wi_sl, swi, batch_static)
+    else:
+        ri_h = ri_l = jnp.zeros_like(rr_h)
+    if not data.is_real:
+        ir_h, ir_l = _sliced_dot(di_sl, sdi, wr_sl, swr, batch_static)
+        if have_wi:
+            ii_h, ii_l = _sliced_dot(di_sl, sdi, wi_sl, swi, batch_static)
+        else:
+            ii_h = ii_l = jnp.zeros_like(ir_h)
+        # (r + i i)(wr + i wi): re = r wr - i wi ; im = r wi + i wr
+        zr_h, e1 = _two_sum(rr_h, -ii_h)
+        zr_l = rr_l - ii_l + e1
+        zi_h, e2 = _two_sum(ri_h, ir_h)
+        zi_l = ri_l + ir_l + e2
+        return CPair(zr_h, zr_l, zi_h, zi_l)
+    return CPair(rr_h, rr_l, ri_h, ri_l)
+
+
+# ---------------------------------------------------------------------------
+# exact DFT via two-stage Cooley-Tukey with sliced matmuls
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _factor(N: int) -> Tuple[int, int]:
+    R = int(np.sqrt(N))
+    while R > 1 and N % R:
+        R -= 1
+    return R, N // R
+
+
+@lru_cache(maxsize=None)
+def _dft_stage_mats(N: int, inverse: bool):
+    """Static matrices for the factorized DFT: stage-1 DS (S, S) applied per
+    residue a, stage-2 combined M2[d][a, c] = DR[a, c] * tw[a, d].
+
+    Index algebra (decimation in time over n = a + R*b):
+      G[a, d]  = sum_b x[a + R b] e^{-+2 pi i b d / S}
+      X[S c+d] = sum_a G[a, d] e^{-+2 pi i a d / N} e^{-+2 pi i a c / R}
+    """
+    R, S = _factor(N)
+    sgn = 2j * np.pi * (1 if inverse else -1)
+    DS = np.exp(sgn * np.outer(np.arange(S), np.arange(S)) / S)
+    DR = np.exp(sgn * np.outer(np.arange(R), np.arange(R)) / R)
+    tw = np.exp(sgn * np.outer(np.arange(R), np.arange(S)) / N)     # (a, d)
+    M2 = DR[:, None, :] * tw[:, :, None]                            # (a, d, c)
+    M2 = np.swapaxes(M2, 0, 1)                                      # (d, a, c)
+    return R, S, DS, M2
+
+
+def exact_dft_axis(x: CPair, N: int, inverse: bool = False) -> CPair:
+    """Exact-grade DFT over the LAST axis (length N) of a pair array."""
+    R, S, DS, M2 = _dft_stage_mats(N, inverse)
+    sh = x.rh.shape[:-1]
+
+    def rs(v):
+        return None if v is None else v.reshape(sh + (S, R))
+
+    # layout (..., b, a): x[a + R b] == x.reshape(S, R)[b, a]
+    data = CPair(rs(x.rh), rs(x.rl), rs(x.ih), rs(x.il))
+    if R == 1:
+        # prime N: single full DFT matmul over b (depth N)
+        out = _cmatmul_sliced(
+            CPair(data.rh[..., 0], data.rl[..., 0],
+                  None if data.ih is None else data.ih[..., 0],
+                  None if data.il is None else data.il[..., 0]),
+            DS.real, DS.imag)
+        return out
+    # stage 1: G[a, d] = sum_b x[b, a] DS[b, d] — contract b (axis -2).
+    # move a before b so the contraction axis is last: (..., a, b)
+    def mv(v):
+        return None if v is None else jnp.swapaxes(v, -1, -2)
+
+    d1 = CPair(mv(data.rh), mv(data.rl), mv(data.ih), mv(data.il))
+    G = _cmatmul_sliced(d1, DS.real, DS.imag)          # (..., a, d)
+    # stage 2: X[S c + d] = sum_a G[a, d] M2[d][a, c] — batch d, contract a
+    d2 = CPair(mv(G.rh), mv(G.rl), mv(G.ih), mv(G.il))  # (..., d, a)
+    V = _cmatmul_sliced(d2, M2.real, M2.imag, batch_static=True)
+    # V: (..., d, c); X[k] with k = S c + d -> layout (..., c, d)
+
+    def fin(v):
+        return jnp.swapaxes(v, -1, -2).reshape(sh + (N,))
+
+    return CPair(fin(V.rh), fin(V.rl), fin(V.ih), fin(V.il))
+
+
+def exact_fft2_pair(F: jnp.ndarray) -> CPair:
+    """Exact-grade full complex 2-D spectrum of a real f64 stack (..., N0, N1).
+    Returns pair (..., N0, N1)."""
+    N0, N1 = F.shape[-2], F.shape[-1]
+    x = pair_from_f64(F)
+    y = exact_dft_axis(x, N1)
+
+    def mv(v):
+        return None if v is None else jnp.swapaxes(v, -1, -2)
+
+    yt = CPair(mv(y.rh), mv(y.rl), mv(y.ih), mv(y.il))
+    z = exact_dft_axis(yt, N0)
+    return CPair(mv(z.rh), mv(z.rl), mv(z.ih), mv(z.il))
+
+
+# ---------------------------------------------------------------------------
+# exact windowed correlation from pair spectra
+# ---------------------------------------------------------------------------
+
+
+def _two_prod(a, b):
+    """Dekker TwoProd in f32 (no FMA assumed): a*b = p + e exactly.
+
+    Fences protect p (its rounding defines e) and the Veltkamp split products
+    a*C from FMA contraction / simplification; the partial products ah*bh
+    etc. are 24-bit-exact in f32 by construction, so contraction of the e-sum
+    itself is value-preserving and needs no fence."""
+    C = np.float32(4097.0)
+    p = _fence(a * b)
+    a1 = _fence(a * C)
+    b1 = _fence(b * C)
+    asub = _fence(a1 - a)
+    bsub = _fence(b1 - b)
+    ah = a1 - asub
+    al = a - ah
+    bh = b1 - bsub
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _pair_hadamard_conj(A: CPair, B: CPair) -> CPair:
+    """H = A * conj(B) elementwise, pair-accurate (~2^-48)."""
+    # real = ar br + ai bi ; imag = ai br - ar bi
+    prr, err = _two_prod(A.rh, B.rh)
+    pii, eii = _two_prod(A.ih, B.ih)
+    pri, eri = _two_prod(A.rh, B.ih)
+    pir, eir = _two_prod(A.ih, B.rh)
+    # cross lo terms (f32 precision suffices: lo ~ 2^-24 rel)
+    cr = err + eii + A.rh * B.rl + A.rl * B.rh + A.ih * B.il + A.il * B.ih
+    ci = eir - eri + A.ih * B.rl + A.il * B.rh - A.rh * B.il - A.rl * B.ih
+    hr, e1 = _two_sum(prr, pii)
+    hi, e2 = _two_sum(pir, -pri)
+    return CPair(hr, cr + e1, hi, ci + e2)
+
+
+@lru_cache(maxsize=None)
+def _corr_emats(N0: int, N1: int, wx: int, wy: int):
+    """E1 (N1, R1) then E0 (N0, R0) partial-iDFT phase matrices (full complex
+    spectra; 1/(N0*N1) folded into E0)."""
+    lag0 = np.arange(-wx, wx + 1)
+    lag1 = np.arange(-wy, wy + 1)
+    E1 = np.exp(2j * np.pi * np.outer(np.arange(N1), (-lag1) % N1) / N1)
+    E0 = np.exp(2j * np.pi * np.outer(np.arange(N0), (-lag0) % N0) / N0) \
+        / (N0 * N1)
+    return E0, E1
+
+
+def exact_corr_window(specA: CPair, specB: CPair, N0: int, N1: int,
+                      wx: int, wy: int, pairs: Optional[Tuple] = None,
+                      symmetric: bool = False,
+                      chunk: Optional[int] = None) -> jnp.ndarray:
+    """CC(A_a, B_b)[rho, eps] for |rho|<=wx, |eps|<=wy, exact-grade.
+
+    specA/specB: pair spectra stacks (Fa, N0, N1) / (Fb, N0, N1) from
+    exact_fft2_pair. Returns (Fa, Fb, 2wx+1, 2wy+1) f64 (with `pairs`
+    =(ia, jb): (npairs, R0, R1); symmetric=True computes the upper triangle
+    of A x A and mirrors)."""
+    Fa = specA.rh.shape[0]
+    Fb = specB.rh.shape[0]
+    E0, E1 = _corr_emats(N0, N1, wx, wy)
+    if chunk is None:
+        # keep the per-chunk pair-Hadamard + slice transients under ~1 GB
+        chunk = int(max(1, min(16, 2 ** 26 // (N0 * N1))))
+
+    if symmetric:
+        ia, jb = np.triu_indices(Fa)
+    elif pairs is not None:
+        ia, jb = pairs
+    else:
+        ia, jb = [x.ravel() for x in
+                  np.meshgrid(np.arange(Fa), np.arange(Fb), indexing="ij")]
+    npairs = len(ia)
+
+    def body(idx_pair):
+        iaa, jbb = idx_pair
+        A = CPair(specA.rh[iaa], specA.rl[iaa], specA.ih[iaa], specA.il[iaa])
+        B = CPair(specB.rh[jbb], specB.rl[jbb], specB.ih[jbb], specB.il[jbb])
+        H = _pair_hadamard_conj(A, B)                    # (c, N0, N1)
+        Y = _cmatmul_sliced(H, E1.real, E1.imag, rowwise=True)  # (c, N0, R1)
+
+        def mvt(v):
+            return jnp.swapaxes(v, -1, -2)
+
+        Yt = CPair(mvt(Y.rh), mvt(Y.rl), mvt(Y.ih), mvt(Y.il))  # (c, R1, N0)
+        Z = _cmatmul_sliced(Yt, E0.real, E0.imag, rowwise=True)  # (c, R1, R0)
+        # CC = Re(sum_k0 Y[k0] E0[k0]) — real part only
+        cc = (Z.rh.astype(jnp.float64) + Z.rl)
+        return jnp.swapaxes(cc, -1, -2)                  # (c, R0, R1)
+
+    # chunk pairs through lax.map (compile one body)
+    pad = (-npairs) % chunk
+    ia_p = np.concatenate([ia, np.zeros(pad, ia.dtype)])
+    jb_p = np.concatenate([jb, np.zeros(pad, jb.dtype)])
+    idx = (jnp.asarray(ia_p).reshape(-1, chunk), jnp.asarray(jb_p).reshape(-1, chunk))
+    out = lax.map(body, idx)
+    out = out.reshape(-1, 2 * wx + 1, 2 * wy + 1)[:npairs]
+
+    if symmetric:
+        full = jnp.zeros((Fa, Fa, 2 * wx + 1, 2 * wy + 1), out.dtype)
+        full = full.at[ia, jb].set(out)
+        full = full.at[jb, ia].set(out[:, ::-1, ::-1])
+        return full
+    if pairs is not None:
+        return out
+    return out.reshape(Fa, Fb, 2 * wx + 1, 2 * wy + 1)

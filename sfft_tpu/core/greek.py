@@ -210,6 +210,23 @@ def greek_tables_separate(
     Pss = dot_planes(SSc, SSc)
     Pgs = dot_planes(SSc, ST)
     Pts = dot_planes(SSc, J[None])[:, 0]
+    if backend == "exact":
+        from sfft_tpu.core.exact_fft import exact_corr_window, exact_fft2_pair
+        from sfft_tpu.core.peel import _exact_skinny_matmul
+
+        Fij = SI.shape[0]
+        stack = jnp.concatenate([SI, SSc], axis=0).astype(jnp.float64)
+        sp = exact_fft2_pair(stack)
+        from sfft_tpu.core.exact_fft import CPair
+
+        specI = CPair(sp.rh[:Fij], sp.rl[:Fij], sp.ih[:Fij], sp.il[:Fij])
+        specS = CPair(sp.rh[Fij:], sp.rl[Fij:], sp.ih[Fij:], sp.il[Fij:])
+        Pbs = exact_corr_window(specI, specS, N0, N1, w0, w1)
+        Sm = SSc.astype(jnp.float64).reshape(SSc.shape[0], -1)
+        Pss = _exact_skinny_matmul(Sm, Sm.T)
+        Pgs = _exact_skinny_matmul(Sm, ST.astype(jnp.float64).reshape(ST.shape[0], -1).T)
+        Pts = _exact_skinny_matmul(Sm, J.astype(jnp.float64).reshape(-1, 1))[:, 0]
+        return Pbs, Pss, Pgs, Pts
     if backend == "fft32":
         specI = jnp.fft.rfft2(SI.astype(jnp.float32))
         specS = jnp.fft.rfft2(SSc.astype(jnp.float32))
@@ -269,6 +286,35 @@ def greek_tables(
                              J.astype(jnp.float32), w0, w1,
                              backend="fft", chunk=chunk)
         return out32[:3] + (Cphi.astype(jnp.float32), Cdel.astype(jnp.float32))
+
+    if backend == "exact":
+        # Exact-grade tables on hardware without f64 FFT: pair-arithmetic
+        # sliced-integer FFT + windowed correlation (core/exact_fft.py).
+        # Works for ANY spatial basis (incl. dense-knot B-splines); tables
+        # accurate to ~1e-14 norm-wise, meeting the 1e-6 solution contract.
+        from sfft_tpu.core.exact_fft import (CPair, exact_corr_window,
+                                             exact_fft2_pair)
+        from sfft_tpu.core.peel import _exact_skinny_matmul
+
+        Fij = SI.shape[0]
+        Fpq = ST.shape[0]
+        stack = jnp.concatenate([J[None], SI, ST], axis=0).astype(jnp.float64)
+        sp = exact_fft2_pair(stack)
+
+        def sl(a, b):
+            return CPair(sp.rh[a:b], sp.rl[a:b], sp.ih[a:b], sp.il[a:b])
+
+        specJ = sl(0, 1)
+        specI = sl(1, 1 + Fij)
+        specT = sl(1 + Fij, 1 + Fij + Fpq)
+        Comg = exact_corr_window(specI, specI, N0, N1, 2 * w0, 2 * w1,
+                                 symmetric=True)
+        Cgam = exact_corr_window(specI, specT, N0, N1, w0, w1)
+        Cthe = exact_corr_window(specI, specJ, N0, N1, w0, w1)[:, 0]
+        Tm = ST.astype(jnp.float64).reshape(Fpq, -1)
+        Cphi = _exact_skinny_matmul(Tm, Tm.T)
+        Cdel = _exact_skinny_matmul(Tm, J.astype(jnp.float64).reshape(-1, 1))[:, 0]
+        return Comg, Cgam, Cthe, Cphi, Cdel
 
     if backend == "fft":
         stack = jnp.concatenate([J[None], SI, ST], axis=0)
