@@ -69,7 +69,8 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
     else:
         SI, ST, SSc = _plane_stacks(cfg, mI)
         Comg, Cgam, Cthe, Cphi, Cdel = greek_tables(
-            SI, ST, mJ, cfg.w0, cfg.w1, backend=cfg.greek_backend, chunk=cfg.greek_chunk
+            SI, ST, mJ, cfg.w0, cfg.w1, backend=cfg.greek_backend,
+            chunk=cfg.greek_chunk, bg_spec=cfg.bg_basis,
         )
         tables = entangled_tables(
             cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
@@ -80,6 +81,7 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
             Pbs, Pss, Pgs, Pts = greek_tables_separate(
                 SI, SSc, ST, mJ, cfg.w0, cfg.w1,
                 backend=cfg.greek_backend, chunk=cfg.greek_chunk,
+                bg_spec=cfg.bg_basis,
             )
             tables = GreekTables(
                 Pbb=tables.Pbb, Pbs=(s**3) * Pbs, Pss=(s**3) * Pss,

@@ -135,9 +135,14 @@ def _pow2ceil_scalar(m):
 
 
 def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
-                     rowwise: bool = False):
-    """(hi, lo) f32 -> (slices int8 stacked on axis 0, pow-2 scale).
+                     rowwise: bool = False, int8: bool = True):
+    """(hi, lo) f32 -> (slices stacked on axis 0, pow-2 scale).
     value == scale * sum_q slices[q] * 2^{-NB (q+1)}  (+ O(2^-NB*nsl)).
+
+    int8=True casts slices to int8 (for exact int32-accumulated dots on deep
+    contractions); int8=False keeps integer-valued f32 slices (for shallow
+    contractions whose f32 dot accumulation stays exact below 2^24 — these
+    compile much faster on the TPU).
 
     rowwise=True scales per row (all leading dims, max over the last axis,
     shape (..., 1)): essential when row magnitudes span many orders (e.g.
@@ -159,7 +164,7 @@ def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
     for q in range(nsl):
         sc = np.float32(2.0 ** (NB * (q + 1)))
         p = jnp.round(r * sc)
-        out.append(p.astype(jnp.int8))
+        out.append(p.astype(jnp.int8) if int8 else p)
         r = r - p / sc
         if q == inject - 1:
             r = r + lo / s
@@ -171,8 +176,8 @@ def _static_slices_np(key, nsl=NSL_STATIC):
     raise RuntimeError("use _slice_static directly")
 
 
-def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC):
-    """Static real matrix -> (int8 slices (nsl, ...), pow2 scale). numpy."""
+def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC, int8: bool = True):
+    """Static real matrix -> (integer slices (nsl, ...), pow2 scale). numpy."""
     mx = np.max(np.abs(M))
     s = float(2.0 ** np.ceil(np.log2(mx))) if mx > 0 else 1.0
     r = (M / s).astype(np.float64)
@@ -181,7 +186,7 @@ def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC):
         sc = 2.0 ** (NB * (q + 1))
         p = np.round(r * sc)
         assert np.max(np.abs(p)) <= 127
-        out.append(p.astype(np.int8))
+        out.append(p.astype(np.int8) if int8 else p.astype(np.float32))
         r = r - p / sc
     return np.stack(out), s
 
@@ -197,50 +202,110 @@ def _group_combos(nsl_d: int, nsl_w: int, kmax: int):
     return groups
 
 
+def _pad_cols(M: np.ndarray, mult: int = 64) -> np.ndarray:
+    """Zero-pad the LAST axis to a multiple of `mult`. The TPU compiler takes
+    minutes on dots with odd narrow output dims (measured: (4096x4096x33)
+    int8 dot compiles in 145 s; x64 in 1.6 s) — always present lane-aligned
+    outputs and slice the pad off afterwards."""
+    m = (-M.shape[-1]) % mult
+    if m == 0:
+        return M
+    pads = [(0, 0)] * M.ndim
+    pads[-1] = (0, m)
+    return np.pad(M, pads)
+
+
+def _accum(outs, weights, sc, big: bool):
+    """Weighted pair-combine of group sums (int32 or exact-integer f32).
+    `big`: int32 values may exceed f32's exact-integer range — split each
+    into a 2^12-aligned top plus remainder (both exact in f32) before the
+    compensated chain."""
+    fo, fw = [], []
+    for out, w_ in zip(outs, weights):
+        if big and out.dtype == jnp.int32:
+            top = (out >> 12) << 12
+            fo.append(top.astype(jnp.float32))
+            fw.append(w_)
+            fo.append((out - top).astype(jnp.float32))
+            fw.append(w_)
+        else:
+            fo.append(out.astype(jnp.float32))
+            fw.append(w_)
+    h, l = _chain(fo, fw)
+    return h * sc, l * sc
+
+
 def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool):
     """Exact product contraction: data slices dsl (nsl_d, ..., K) int8 against
     static slices Wsl (nsl_w, [B,] K, M) int8 -> f32 pair of (..., M) (or
-    batched (..., B-interleaved, M); see _dft_stage2). Per weight group one
-    int8 dot with slices CONCATENATED along the contraction axis (group sums
-    accumulate in int32 exactly: |prod| < 2^12, depth <= ~9*4096 < 2^17.5)."""
+    batched (..., B, M)). Products accumulate in int32 EXACTLY (|prod| <=
+    2^12, depths < 2^17).
+
+    Two shapes of the same contraction, chosen by depth:
+      * deep K (partial-iDFT stages, K = image axis): one dot per data slice
+        against ALL static slices stacked along the output axis — avoids both
+        giant concat buffers (9x data size) and many narrow dots;
+      * shallow K (DFT butterfly stages): one dot per weight group with the
+        group's slice pairs concatenated along K (output here is data-sized,
+        so output-stacking would multiply it by nsl_w)."""
     nsl_d = dsl.shape[0]
     nsl_w = Wsl.shape[0]
+    K = dsl.shape[-1]
+    sc = s_d * np.float32(s_w)
+
+    if not batch_static and K >= 1024:
+        M = Wsl.shape[-1]
+        Mp = -(-M // 64) * 64
+        Wstack = jnp.asarray(np.concatenate(
+            [_pad_cols(np.asarray(Wsl[j]), 64) for j in range(nsl_w)], axis=-1))
+        per_i = []
+        for i in range(nsl_d):
+            per_i.append(lax.dot_general(
+                dsl[i], Wstack, (((dsl[i].ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32))
+        groups = _group_combos(nsl_d, nsl_w, KMAX)
+        outs, weights = [], []
+        for s_, combos in groups:
+            acc = None
+            for i, j in combos:
+                piece = per_i[i][..., j * Mp : j * Mp + M]
+                acc = piece if acc is None else acc + piece
+            outs.append(acc)
+            weights.append(2.0 ** (-NB * (s_ + 2)))
+        return _accum(outs, weights, sc, big=True)
+
+    # shallow-K path: f32 slices and f32 dots (exact: 6-bit-slice products
+    # are <= 2^12.6, group-concat depth <= 9*64, partial sums < 2^23 — all
+    # exactly representable integers in f32). f32 dots compile in seconds on
+    # the TPU where equivalent int8 graphs took minutes.
+    f32dot = dsl.dtype != jnp.int8
     groups = _group_combos(nsl_d, nsl_w, KMAX)
-    outs = []
-    weights = []
+    Wsl_np = np.asarray(Wsl)
+    M = Wsl_np.shape[-1]
+    Wpad = _pad_cols(Wsl_np, 64)
+    acc_t = jnp.float32 if f32dot else jnp.int32
+    outs, weights = [], []
     for s_, combos in groups:
         dcat = jnp.concatenate([dsl[i] for i, _ in combos], axis=-1)
-        wcat = jnp.concatenate([Wsl[j] for _, j in combos],
-                               axis=-2 if not batch_static else 1)
+        wcat = jnp.asarray(np.concatenate(
+            [Wpad[j] for _, j in combos], axis=-2))
         if batch_static:
-            # data (..., B, Kc), static (B, Kc, M): batch over B
+            # data (..., B, Kc), static (B, Kc, Mp): batch over B
             out = lax.dot_general(
                 dcat, wcat,
                 (((dcat.ndim - 1,), (1,)), ((dcat.ndim - 2,), (0,))),
-                preferred_element_type=jnp.int32)
-            # dims: (B, ..., M) -> (..., B, M)
+                preferred_element_type=acc_t,
+                precision=lax.Precision.HIGHEST)
             out = jnp.moveaxis(out, 0, -2)
         else:
             out = lax.dot_general(
                 dcat, wcat, (((dcat.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-        w_ = 2.0 ** (-NB * (s_ + 2))
-        bound = 33 * 33 * dcat.shape[-1]
-        if bound >= 2 ** 24:
-            # int32 -> f32 would round (|value| can exceed 2^24): split the
-            # integer exactly into a 2^12-aligned top and a small remainder
-            top = (out >> 12) << 12
-            rem = out - top
-            outs.append(top.astype(jnp.float32))
-            weights.append(w_)
-            outs.append(rem.astype(jnp.float32))
-            weights.append(w_)
-        else:
-            outs.append(out.astype(jnp.float32))
-            weights.append(w_)
-    h, l = _chain(outs, weights)
-    sc = s_d * np.float32(s_w)
-    return h * sc, l * sc
+                preferred_element_type=acc_t,
+                precision=lax.Precision.HIGHEST)
+        outs.append(out[..., :M])
+        weights.append(2.0 ** (-NB * (s_ + 2)))
+    big = 33 * 33 * max(len(c) for _, c in groups) * K >= 2 ** 24
+    return _accum(outs, weights, sc, big=big)
 
 
 def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
@@ -249,13 +314,20 @@ def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
     """Exact complex matmul: data (..., K) pair  @  static complex W.
     W layouts: (K, M), or (B, K, M) with batch_static=True batching over the
     data's axis -2. Returns pair (..., M) (batched: (..., B, M))."""
-    wr_sl, swr = _slice_static(Wre)
-    dr_sl, sdr = _slice_pair_real(data.rh, data.rl, NSL_DATA, rowwise)
+    # int8 slices throughout: 4x less slice-buffer traffic than f32 slices
+    # (measured 1.8x faster 4K plane FFTs) and exact int32 accumulation at
+    # any depth. (The earlier compile-time pathology was the batched-static
+    # dot + odd output dims, not int8 itself.)
+    use_int8 = True
+    wr_sl, swr = _slice_static(Wre, int8=use_int8)
+    dr_sl, sdr = _slice_pair_real(data.rh, data.rl, NSL_DATA, rowwise,
+                                  int8=use_int8)
     have_wi = Wim is not None and np.max(np.abs(Wim)) > 0
     if have_wi:
-        wi_sl, swi = _slice_static(Wim)
+        wi_sl, swi = _slice_static(Wim, int8=use_int8)
     if not data.is_real:
-        di_sl, sdi = _slice_pair_real(data.ih, data.il, NSL_DATA, rowwise)
+        di_sl, sdi = _slice_pair_real(data.ih, data.il, NSL_DATA, rowwise,
+                                      int8=use_int8)
 
     rr_h, rr_l = _sliced_dot(dr_sl, sdr, wr_sl, swr, batch_static)
     if have_wi:
@@ -292,26 +364,59 @@ def _factor(N: int) -> Tuple[int, int]:
 
 @lru_cache(maxsize=None)
 def _dft_stage_mats(N: int, inverse: bool):
-    """Static matrices for the factorized DFT: stage-1 DS (S, S) applied per
-    residue a, stage-2 combined M2[d][a, c] = DR[a, c] * tw[a, d].
+    """Static matrices for the factorized DFT.
 
     Index algebra (decimation in time over n = a + R*b):
       G[a, d]  = sum_b x[a + R b] e^{-+2 pi i b d / S}
       X[S c+d] = sum_a G[a, d] e^{-+2 pi i a d / N} e^{-+2 pi i a c / R}
-    """
+
+    The twiddle e^{+-2 pi i a d / N} is applied as an ELEMENTWISE pair
+    product between the two plain (S,S)/(R,R) matmul stages. Folding it into
+    a d-batched static matrix is algebraically tidier but catastrophically
+    slower to compile on the TPU (batched-static sliced dot: 650 s for one
+    4K axis vs 11 s for this form — measured)."""
     R, S = _factor(N)
     sgn = 2j * np.pi * (1 if inverse else -1)
     DS = np.exp(sgn * np.outer(np.arange(S), np.arange(S)) / S)
     DR = np.exp(sgn * np.outer(np.arange(R), np.arange(R)) / R)
     tw = np.exp(sgn * np.outer(np.arange(R), np.arange(S)) / N)     # (a, d)
-    M2 = DR[:, None, :] * tw[:, :, None]                            # (a, d, c)
-    M2 = np.swapaxes(M2, 0, 1)                                      # (d, a, c)
-    return R, S, DS, M2
+    return R, S, DS, DR, tw
+
+
+def _pair_mul_static(v: CPair, W: np.ndarray) -> CPair:
+    """Elementwise complex pair product v * W with a static complex factor
+    (broadcast over leading dims), accurate to ~2^-48 relative."""
+    wr = jnp.asarray(W.real.astype(np.float32))
+    wr_l = jnp.asarray((W.real - W.real.astype(np.float32)).astype(np.float32))
+    wi = jnp.asarray(W.imag.astype(np.float32))
+    wi_l = jnp.asarray((W.imag - W.imag.astype(np.float32)).astype(np.float32))
+    prr, err = _two_prod(v.rh, wr)
+    pii, eii = _two_prod(v.ih, wi)
+    pri, eri = _two_prod(v.rh, wi)
+    pir, eir = _two_prod(v.ih, wr)
+    cr = err - eii + v.rh * wr_l + v.rl * wr - v.ih * wi_l - v.il * wi
+    ci = eri + eir + v.rh * wi_l + v.rl * wi + v.ih * wr_l + v.il * wr
+    ur, e1 = _two_sum(prr, -pii)
+    ui, e2 = _two_sum(pri, pir)
+    return CPair(ur, cr + e1, ui, ci + e2)
+
+
+def _pair_mul_static_real_in(v: CPair, W: np.ndarray) -> CPair:
+    """Pair product for a REAL v (ih is None) with static complex W."""
+    wr = jnp.asarray(W.real.astype(np.float32))
+    wr_l = jnp.asarray((W.real - W.real.astype(np.float32)).astype(np.float32))
+    wi = jnp.asarray(W.imag.astype(np.float32))
+    wi_l = jnp.asarray((W.imag - W.imag.astype(np.float32)).astype(np.float32))
+    prr, err = _two_prod(v.rh, wr)
+    pri, eri = _two_prod(v.rh, wi)
+    cr = err + v.rh * wr_l + v.rl * wr
+    ci = eri + v.rh * wi_l + v.rl * wi
+    return CPair(prr, cr, pri, ci)
 
 
 def exact_dft_axis(x: CPair, N: int, inverse: bool = False) -> CPair:
     """Exact-grade DFT over the LAST axis (length N) of a pair array."""
-    R, S, DS, M2 = _dft_stage_mats(N, inverse)
+    R, S, DS, DR, tw = _dft_stage_mats(N, inverse)
     sh = x.rh.shape[:-1]
 
     def rs(v):
@@ -334,10 +439,12 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False) -> CPair:
 
     d1 = CPair(mv(data.rh), mv(data.rl), mv(data.ih), mv(data.il))
     G = _cmatmul_sliced(d1, DS.real, DS.imag)          # (..., a, d)
-    # stage 2: X[S c + d] = sum_a G[a, d] M2[d][a, c] — batch d, contract a
-    d2 = CPair(mv(G.rh), mv(G.rl), mv(G.ih), mv(G.il))  # (..., d, a)
-    V = _cmatmul_sliced(d2, M2.real, M2.imag, batch_static=True)
-    # V: (..., d, c); X[k] with k = S c + d -> layout (..., c, d)
+    # twiddle U[a, d] = G[a, d] * tw[a, d] (elementwise pair product)
+    U = _pair_mul_static(G, tw)
+    # stage 2: X[S c + d] = sum_a U[a, d] DR[a, c] — contract a
+    d2 = CPair(mv(U.rh), mv(U.rl), mv(U.ih), mv(U.il))  # (..., d, a)
+    V = _cmatmul_sliced(d2, DR.real, DR.imag)           # (..., d, c)
+    # X[k] with k = S c + d -> layout (..., c, d)
 
     def fin(v):
         return jnp.swapaxes(v, -1, -2).reshape(sh + (N,))
@@ -345,16 +452,42 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False) -> CPair:
     return CPair(fin(V.rh), fin(V.rl), fin(V.ih), fin(V.il))
 
 
-def exact_fft2_pair(F: jnp.ndarray) -> CPair:
+def exact_fft2_pair(F: jnp.ndarray, plane_chunk: int = 0,
+                    half: bool = False) -> CPair:
     """Exact-grade full complex 2-D spectrum of a real f64 stack (..., N0, N1).
-    Returns pair (..., N0, N1)."""
+    Returns pair (..., N0, N1) — or (..., N0, N1//2+1) with half=True, which
+    keeps only the Hermitian half over the last axis (valid for REAL input;
+    the axis-0 transform then runs on half the columns, and
+    exact_corr_window folds the redundancy with weight-2 phases).
+
+    A leading stack axis is processed in chunks through lax.map: the
+    transform body is compiled ONCE and peak memory stays bounded by the
+    chunk (slicing intermediates are ~40x the plane size in f32)."""
     N0, N1 = F.shape[-2], F.shape[-1]
+    if F.ndim == 3:
+        if plane_chunk <= 0:
+            # keep per-chunk slicing transients well under 1 GB: the stage
+            # group-concats (up to 9x64-wide per group, several live at once)
+            # dominated HBM at 4K with 2-plane chunks (measured 20.5 GB peak)
+            plane_chunk = int(max(1, min(8, 2 ** 24 // (N0 * N1))))
+        if F.shape[0] > plane_chunk:
+            npl = F.shape[0]
+            pad = (-npl) % plane_chunk
+            Fp = jnp.pad(F, ((0, pad), (0, 0), (0, 0)))
+            Fp = Fp.reshape(-1, plane_chunk, N0, N1)
+            out = lax.map(lambda f: exact_fft2_pair(f, half=half), Fp)
+            Nc = N1 // 2 + 1 if half else N1
+            return CPair(*(None if v is None else
+                           v.reshape(-1, N0, Nc)[:npl] for v in out))
     x = pair_from_f64(F)
     y = exact_dft_axis(x, N1)
 
     def mv(v):
         return None if v is None else jnp.swapaxes(v, -1, -2)
 
+    if half:
+        N1h = N1 // 2 + 1
+        y = CPair(*(None if v is None else v[..., :N1h] for v in y))
     yt = CPair(mv(y.rh), mv(y.rl), mv(y.ih), mv(y.il))
     z = exact_dft_axis(yt, N0)
     return CPair(mv(z.rh), mv(z.rl), mv(z.ih), mv(z.il))
@@ -402,12 +535,22 @@ def _pair_hadamard_conj(A: CPair, B: CPair) -> CPair:
 
 
 @lru_cache(maxsize=None)
-def _corr_emats(N0: int, N1: int, wx: int, wy: int):
-    """E1 (N1, R1) then E0 (N0, R0) partial-iDFT phase matrices (full complex
-    spectra; 1/(N0*N1) folded into E0)."""
+def _corr_emats(N0: int, N1: int, wx: int, wy: int, half: bool = False):
+    """E1 (N1[h], R1) then E0 (N0, R0) partial-iDFT phase matrices
+    (1/(N0*N1) folded into E0). half=True: spectra carry only k1 <= N1//2;
+    Hermitian symmetry of real-input cross-spectra is folded as weight-2
+    interior columns (the final Re() recovers the conjugate half: the paired
+    (-k0,-k1) term of every (k0,k1) bin is its conjugate)."""
     lag0 = np.arange(-wx, wx + 1)
     lag1 = np.arange(-wy, wy + 1)
-    E1 = np.exp(2j * np.pi * np.outer(np.arange(N1), (-lag1) % N1) / N1)
+    n1 = N1 // 2 + 1 if half else N1
+    E1 = np.exp(2j * np.pi * np.outer(np.arange(n1), (-lag1) % N1) / N1)
+    if half:
+        w = np.full(n1, 2.0)
+        w[0] = 1.0
+        if N1 % 2 == 0:
+            w[-1] = 1.0
+        E1 = w[:, None] * E1
     E0 = np.exp(2j * np.pi * np.outer(np.arange(N0), (-lag0) % N0) / N0) \
         / (N0 * N1)
     return E0, E1
@@ -425,10 +568,11 @@ def exact_corr_window(specA: CPair, specB: CPair, N0: int, N1: int,
     of A x A and mirrors)."""
     Fa = specA.rh.shape[0]
     Fb = specB.rh.shape[0]
-    E0, E1 = _corr_emats(N0, N1, wx, wy)
+    half = specA.rh.shape[-1] != N1
+    E0, E1 = _corr_emats(N0, N1, wx, wy, half=half)
     if chunk is None:
         # keep the per-chunk pair-Hadamard + slice transients under ~1 GB
-        chunk = int(max(1, min(16, 2 ** 26 // (N0 * N1))))
+        chunk = int(max(1, min(16, 2 ** 25 // (N0 * N1))))
 
     if symmetric:
         ia, jb = np.triu_indices(Fa)

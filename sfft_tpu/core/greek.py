@@ -188,6 +188,57 @@ def dot_planes(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def exact_bg_corr(A: jnp.ndarray, bg_spec, N0: int, N1: int,
+                  wx: int, wy: int) -> jnp.ndarray:
+    """CC(A_a, T_q)[rho, eps] EXACTLY for separable analytic background
+    planes T_q(x,y) = u_p(x) v_q(y) — no FFT and no shift-closure algebra:
+    the lag set is static, so circularly SHIFTED basis factors are just
+    np.roll'ed value tables, and the correlation reduces to two exact-f64
+    skinny matmuls (Pallas double-float kernel on TPU):
+
+        CC[a, (p,q), rho, eps] = sum_xy A_a[x,y] u_p(x+rho) v_q(y+eps)
+
+    Works for any separable basis (polynomial or B-spline, any knots).
+    Returns (Fa, Fpq, 2wx+1, 2wy+1) f64."""
+    from sfft_tpu.core.basis import basis_1d_tables
+    from sfft_tpu.core.indices import ref_basis_exponents
+    from sfft_tpu.core.peel import _exact_skinny_matmul
+
+    U, V = basis_1d_tables(bg_spec, N0, N1)       # (N0, F0), (N1, F1)
+    exps = ref_basis_exponents(bg_spec)
+    F0, F1 = U.shape[1], V.shape[1]
+    R0, R1 = 2 * wx + 1, 2 * wy + 1
+    Ur = np.stack([np.roll(U, -l, axis=0) for l in range(-wx, wx + 1)], 1)
+    Vr = np.stack([np.roll(V, -l, axis=0) for l in range(-wy, wy + 1)], 1)
+    Ur = jnp.asarray(Ur.reshape(N0, R0 * F0).T)   # (R0*F0, N0)
+    Vr = jnp.asarray(Vr.reshape(N1, R1 * F1).T)   # (R1*F1, N1)
+
+    Fa = A.shape[0]
+    A64 = A.astype(jnp.float64)
+    # step 1 (y): M1[(e,t), (a,x)] = sum_y Vr[(e,t), y] A[a, x, y]
+    M1 = _exact_skinny_matmul(Vr, jnp.transpose(A64, (2, 0, 1)).reshape(N1, -1))
+    # step 2 (x): M2[(r,s), (e,t), a] = sum_x Ur[(r,s), x] M1[(e,t), (a,x)]
+    M1 = M1.reshape(R1 * F1 * Fa, N0).T           # (N0, R1*F1*Fa)
+    M2 = _exact_skinny_matmul(Ur, M1)             # (R0*F0, R1*F1*Fa)
+    M2 = M2.reshape(R0, F0, R1, F1, Fa)
+    out = jnp.stack([M2[:, i, :, j, :] for (i, j) in exps], axis=0)
+    return jnp.transpose(out, (3, 0, 1, 2))       # (Fa, Fpq, R0, R1)
+
+
+def bg_static_gram(bg_spec, N0: int, N1: int) -> np.ndarray:
+    """PHI block in closed form: <T_q, T_q'> = (sum_x u u') (sum_y v v') —
+    separable exact host-side sums, zero device cost."""
+    from sfft_tpu.core.basis import basis_1d_tables
+    from sfft_tpu.core.indices import ref_basis_exponents
+
+    U, V = basis_1d_tables(bg_spec, N0, N1)
+    exps = ref_basis_exponents(bg_spec)
+    GU = U.T @ U
+    GV = V.T @ V
+    return np.array([[GU[i1, i2] * GV[j1, j2] for (i2, j2) in exps]
+                     for (i1, j1) in exps])
+
+
 def greek_tables_separate(
     SI: jnp.ndarray,
     SSc: jnp.ndarray,
@@ -197,6 +248,7 @@ def greek_tables_separate(
     w1: int,
     backend: str = "fft",
     chunk: int = 0,
+    bg_spec=None,
 ):
     """Extra correlation tables for SEPARATE-VARYING scaling: the center-offset
     dofs attach to the sigma-weighted stack SSc = I * sigma_ij (zero-padded to
@@ -211,21 +263,27 @@ def greek_tables_separate(
     Pgs = dot_planes(SSc, ST)
     Pts = dot_planes(SSc, J[None])[:, 0]
     if backend == "exact":
-        from sfft_tpu.core.exact_fft import exact_corr_window, exact_fft2_pair
-        from sfft_tpu.core.peel import _exact_skinny_matmul
+        from sfft_tpu.core.exact_fft import (CPair, exact_corr_window,
+                                             exact_fft2_pair)
 
         Fij = SI.shape[0]
-        stack = jnp.concatenate([SI, SSc], axis=0).astype(jnp.float64)
-        sp = exact_fft2_pair(stack)
-        from sfft_tpu.core.exact_fft import CPair
-
+        stack = jnp.concatenate(
+            [SI, SSc, J[None]], axis=0).astype(jnp.float64)
+        sp = exact_fft2_pair(stack, half=True)
         specI = CPair(sp.rh[:Fij], sp.rl[:Fij], sp.ih[:Fij], sp.il[:Fij])
-        specS = CPair(sp.rh[Fij:], sp.rl[Fij:], sp.ih[Fij:], sp.il[Fij:])
+        specS = CPair(sp.rh[Fij:-1], sp.rl[Fij:-1], sp.ih[Fij:-1],
+                      sp.il[Fij:-1])
+        specJ = CPair(sp.rh[-1:], sp.rl[-1:], sp.ih[-1:], sp.il[-1:])
         Pbs = exact_corr_window(specI, specS, N0, N1, w0, w1)
-        Sm = SSc.astype(jnp.float64).reshape(SSc.shape[0], -1)
-        Pss = _exact_skinny_matmul(Sm, Sm.T)
-        Pgs = _exact_skinny_matmul(Sm, ST.astype(jnp.float64).reshape(ST.shape[0], -1).T)
-        Pts = _exact_skinny_matmul(Sm, J.astype(jnp.float64).reshape(-1, 1))[:, 0]
+        Pss = exact_corr_window(specS, specS, N0, N1, 0, 0,
+                                symmetric=True)[:, :, 0, 0]
+        Pts = exact_corr_window(specS, specJ, N0, N1, 0, 0)[:, 0, 0, 0]
+        if bg_spec is not None:
+            Pgs = exact_bg_corr(SSc, bg_spec, N0, N1, 0, 0)[:, :, 0, 0]
+        else:
+            spT = exact_fft2_pair(ST.astype(jnp.float64), half=True)
+            specT = CPair(spT.rh, spT.rl, spT.ih, spT.il)
+            Pgs = exact_corr_window(specS, specT, N0, N1, 0, 0)[:, :, 0, 0]
         return Pbs, Pss, Pgs, Pts
     if backend == "fft32":
         specI = jnp.fft.rfft2(SI.astype(jnp.float32))
@@ -253,6 +311,7 @@ def greek_tables(
     w1: int,
     backend: str = "fft",
     chunk: int = 0,
+    bg_spec=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """All correlation tables the assembly needs.
 
@@ -289,31 +348,39 @@ def greek_tables(
 
     if backend == "exact":
         # Exact-grade tables on hardware without f64 FFT: pair-arithmetic
-        # sliced-integer FFT + windowed correlation (core/exact_fft.py).
-        # Works for ANY spatial basis (incl. dense-knot B-splines); tables
-        # accurate to ~1e-14 norm-wise, meeting the 1e-6 solution contract.
+        # sliced-integer FFT + windowed correlation (core/exact_fft.py) for
+        # the data x data blocks, rolled-basis exact moments for everything
+        # against the analytic background planes. Works for ANY spatial
+        # basis (incl. dense-knot B-splines); tables accurate to ~1e-14
+        # norm-wise, meeting the 1e-6 solution contract.
         from sfft_tpu.core.exact_fft import (CPair, exact_corr_window,
                                              exact_fft2_pair)
-        from sfft_tpu.core.peel import _exact_skinny_matmul
 
         Fij = SI.shape[0]
-        Fpq = ST.shape[0]
-        stack = jnp.concatenate([J[None], SI, ST], axis=0).astype(jnp.float64)
-        sp = exact_fft2_pair(stack)
+        stack = jnp.concatenate([J[None], SI], axis=0).astype(jnp.float64)
+        sp = exact_fft2_pair(stack, half=True)
 
         def sl(a, b):
             return CPair(sp.rh[a:b], sp.rl[a:b], sp.ih[a:b], sp.il[a:b])
 
         specJ = sl(0, 1)
         specI = sl(1, 1 + Fij)
-        specT = sl(1 + Fij, 1 + Fij + Fpq)
         Comg = exact_corr_window(specI, specI, N0, N1, 2 * w0, 2 * w1,
                                  symmetric=True)
-        Cgam = exact_corr_window(specI, specT, N0, N1, w0, w1)
         Cthe = exact_corr_window(specI, specJ, N0, N1, w0, w1)[:, 0]
-        Tm = ST.astype(jnp.float64).reshape(Fpq, -1)
-        Cphi = _exact_skinny_matmul(Tm, Tm.T)
-        Cdel = _exact_skinny_matmul(Tm, J.astype(jnp.float64).reshape(-1, 1))[:, 0]
+        if bg_spec is not None:
+            Cgam = exact_bg_corr(SI, bg_spec, N0, N1, w0, w1)
+            Cphi = jnp.asarray(bg_static_gram(bg_spec, N0, N1))
+            Cdel = exact_bg_corr(J[None], bg_spec, N0, N1, 0, 0)[0, :, 0, 0]
+        else:
+            # no basis spec available (direct table calls): T planes through
+            # the generic spectral route
+            spT = exact_fft2_pair(ST.astype(jnp.float64), half=True)
+            specT = CPair(spT.rh, spT.rl, spT.ih, spT.il)
+            Cgam = exact_corr_window(specI, specT, N0, N1, w0, w1)
+            Cphi = exact_corr_window(specT, specT, N0, N1, 0, 0,
+                                     symmetric=True)[:, :, 0, 0]
+            Cdel = exact_corr_window(specT, specJ, N0, N1, 0, 0)[:, 0, 0, 0]
         return Comg, Cgam, Cthe, Cphi, Cdel
 
     if backend == "fft":
