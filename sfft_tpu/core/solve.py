@@ -40,11 +40,15 @@ def _host_solve(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _blocked_cholesky(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
+def _blocked_cholesky(A: jnp.ndarray, nb: int = 256,
+                      precision=None) -> jnp.ndarray:
     """Lower Cholesky factor via right-looking blocked algorithm.
 
     Panel factorization and triangular solves stay small (nb x nb); the trailing
     update is a matmul — the only f64 primitive that is fast(ish) on TPU.
+    precision=HIGHEST forces the exact (slow) f64 dot route for every
+    contraction — required when the factor feeds the f64 solution contract
+    (the fast f64 emulation is ~1e-7 and gets amplified by conditioning).
     """
     n = A.shape[0]
     nblk = -(-n // nb)
@@ -57,8 +61,9 @@ def _blocked_cholesky(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
     def chol_small(M):
         # unblocked Cholesky of an nb x nb block via fori over columns
         def body(j, Lc):
-            d = jnp.sqrt(M2[j, j] - jnp.dot(Lc[j, :], Lc[j, :]))
-            col = (M2[:, j] - Lc @ Lc[j, :]) / d
+            d = jnp.sqrt(M2[j, j] - jnp.dot(Lc[j, :], Lc[j, :],
+                                            precision=precision))
+            col = (M2[:, j] - jnp.dot(Lc, Lc[j, :], precision=precision)) / d
             mask = jnp.arange(M.shape[0]) > j
             Lc = Lc.at[:, j].set(jnp.where(mask, col, 0.0))
             Lc = Lc.at[j, j].set(d)
@@ -81,9 +86,33 @@ def _blocked_cholesky(A: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
         L = L.at[s : s + nb, s : s + nb].set(Lkk)
         if below.shape[0]:
             L = L.at[s + nb :, s : s + nb].set(Lbk)
-            upd = Lbk @ Lbk.T
+            upd = jnp.dot(Lbk, Lbk.T, precision=precision)
             Acur = Acur.at[s + nb :, s + nb :].add(-upd)
     return L[:n, :n]
+
+
+def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """f64-contract solve on TPU: Jacobi equilibration + blocked Cholesky with
+    HIGHEST-precision (exact, slow-route) f64 contractions + exact-residual
+    refinement. Unlike the f32-LU refinement, the iteration matrix here has
+    spectral radius cond * eps64 (~1e-7 even at cond 3e8), so two refinement
+    steps reach the f64 floor. Cost at NEQ=1740 is dominated by the ~n^3/3
+    exact-f64 trailing updates (~100 ms on v5e)."""
+    d = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)) + jnp.finfo(A.dtype).tiny)
+    As = A * d[:, None] * d[None, :]
+    bs = b * d
+    hp = jax.lax.Precision.HIGHEST
+    L = _blocked_cholesky(As, precision=hp)
+
+    def solve_tri(r):
+        y = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    x = solve_tri(bs)
+    for _ in range(iters):
+        r = bs - jnp.dot(As, x, precision=hp)
+        x = x + solve_tri(r)
+    return x * d
 
 
 def _refined_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
@@ -117,11 +146,47 @@ def _refined_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 3) -> jnp.ndarra
             return jax.scipy.linalg.lu_solve(
                 (lu, piv), r.astype(jnp.float32)).astype(b.dtype)
 
-    x = f32_solve(bs)
-    for _ in range(iters):
-        r = bs - As @ x
-        x = x + f32_solve(r)
-    return x * d
+    if A.dtype == jnp.float32:
+        x = f32_solve(bs)
+        for _ in range(iters):
+            r = bs - As @ x
+            x = x + f32_solve(r)
+        return x * d
+
+    # f64 system: plain refinement is Richardson iteration with rate
+    # cond(As) * eps32 — it STALLS (or diverges) once the equilibrated
+    # condition number passes ~1e7, which real SFFT systems do (measured
+    # 2.8e8 at 4K). Preconditioned CG with EXACT f64 matvecs (slow-exact XLA
+    # route; the matrix is a regularized Gram matrix, SPD) converges at rate
+    # set by cond(M^-1 As) ~ 1 + cond * eps32 instead, reaching the f64
+    # floor in tens of iterations.
+    def matvec(v):
+        return As @ v
+
+    def body(state):
+        k, x, r, z, p, rz = state
+        Ap_ = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap_)
+        x = x + alpha * p
+        r = r - alpha * Ap_
+        z = f32_solve(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return k + 1, x, r, z, p, rz_new
+
+    def cond_fn(state):
+        k, x, r, z, p, rz = state
+        return jnp.logical_and(k < 100,
+                               jnp.linalg.norm(r) > 1e-16 * bnorm)
+
+    bnorm = jnp.linalg.norm(bs)
+    x0 = f32_solve(bs)
+    r0 = bs - matvec(x0)
+    z0 = f32_solve(r0)
+    state = (jnp.int32(0), x0, r0, z0, z0, jnp.vdot(r0, z0))
+    state = jax.lax.while_loop(cond_fn, body, state)
+    return state[1] * d
 
 
 def _contig_segments(idx: np.ndarray):
@@ -213,6 +278,8 @@ def solve_system(
         x = _host_solve(A, b)
     elif cfg.solver == "refined":
         x = _refined_solve(A, b)
+    elif cfg.solver == "exact":
+        x = _exact_solve(A, b)
     elif cfg.solver == "blocked_cho":
         L = _blocked_cholesky(A)
         y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
