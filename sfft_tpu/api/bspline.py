@@ -74,32 +74,20 @@ def make_bspline_config(
     import jax
 
     if jax.default_backend() not in ("cpu", "gpu"):
-        # On TPU complex128 FFT is unavailable; the peeled exact-grade path
-        # covers polynomial bases (core/peel.py) and B-spline bases via the
-        # truncated-power generalization (core/peel_pw.py). Configs whose
-        # union knot grid is too dense for the piecewise peel's sliver
-        # separation fall back to f32-compute Greek tables (validated against
-        # f64 on the NIRCam data; see DESIGN.md).
-        probe = SFFTConfig(
-            N0=int(N0), N1=int(N1), w0=int(GKerHW), w1=int(GKerHW),
-            kernel_basis=kernel_basis, bg_basis=bg_basis,
-            scaling_basis=scaling_basis, const_phot_ratio=False,
-        )
-        from sfft_tpu.core.peel_pw import pw_supported
-
-        poly_only = (kernel_basis.kind == "polynomial"
-                     and bg_basis.kind == "polynomial"
-                     and (scaling_basis is None
-                          or scaling_basis.kind == "polynomial"))
-        # B-spline configs CAN run the exact-grade truncated-power peel
-        # (greek_backend="peeled", requires pw_supported knot spacing), but it
-        # currently costs ~10x the f32 FFT tables; default to fft32 until the
-        # small-contraction f64 contractions are restructured (DESIGN.md).
+        # On TPU complex128 FFT is unavailable. Default = the exact-grade
+        # sliced-integer pair-FFT engine (core/exact_fft.py), which holds the
+        # reference's f64 contract for EVERY spatial basis — polynomial or
+        # B-spline with arbitrary knots (no pw_supported knot-spacing
+        # restriction, no silent f32 downgrade). Fast alternatives remain
+        # opt-in: greek_backend="peeled" (polynomial / wide-knot B-spline via
+        # the truncated-power peel) or "fft32" (f32 tables).
+        # Solver: large B-spline systems (NEQ >= 8k) assemble in f32 for HBM
+        # reasons and solve via the refined path regardless, so 'refined' is
+        # the honest default here; 'exact' kicks in for small-NEQ configs via
+        # solve_system's dtype dispatch.
         defaults = dict(
-            greek_backend="peeled" if poly_only else "fft32",
-            fdiff_backend="fft32", solver="refined",
+            greek_backend="exact", fdiff_backend="exact", solver="exact",
         )
-        del pw_supported, probe  # placeholder until the peeled default flips
     defaults.update(engine_kwargs)
     return SFFTConfig(
         N0=int(N0), N1=int(N1), w0=int(GKerHW), w1=int(GKerHW),

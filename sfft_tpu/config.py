@@ -68,15 +68,20 @@ class SFFTConfig:
     ignore_laplacian_kercent: bool = True
     # numerics
     dtype: str = "float64"  # 'float64' | 'float32'
-    # greek backend: 'fft' (rfft2/irfft2 Hadamard path; needs complex FFT for the
-    # dtype) | 'corr' (FFT-free direct correlation via matmuls; works in f64 on
-    # TPU where complex128 FFT does not compile)
+    # greek backend: 'fft' (rfft2/irfft2 Hadamard path; needs complex FFT for
+    # the dtype — the CPU f64 oracle) | 'exact' (sliced-integer pair-FFT
+    # correlations, core/exact_fft.py — the TPU f64-contract path, any basis)
+    # | 'peeled' (smooth/fluct mixed precision — the TPU fast path) | 'fft32'
+    # (f32 FFT tables) | 'corr' (FFT-free lax.conv correlation)
     greek_backend: str = "fft"
     # difference construction: 'fft' (Fourier-space, reference-equivalent) |
-    # 'conv' (real-space circular convolution via lax.conv; complex-free)
+    # 'exact' (pair-arithmetic spectra/inverse — TPU f64 contract) | 'fft32'
+    # | 'conv' (real-space circular convolution via lax.conv; complex-free)
     fdiff_backend: str = "fft"
-    # linear solver: 'lu' | 'cho' | 'host' (pure_callback to numpy on the host;
-    # for TPU f64 where on-device LU is unsupported) | 'blocked_cho'
+    # linear solver: 'lu' | 'cho' | 'exact' (equilibrated blocked Cholesky
+    # with exact-f64 contractions + refinement — TPU f64 contract) |
+    # 'refined' (f32 LU + preconditioned-CG — TPU fast path) | 'host'
+    # (pure_callback to numpy; unsupported under axon) | 'blocked_cho'
     solver: str = "lu"
     # chunk size for the Greek pair axis (memory throttling; the reference's
     # MINIMIZE_GPU_MEMORY_USAGE analog). 0 = no chunking.
@@ -196,14 +201,17 @@ def make_config(
     platform = jax.default_backend()
     on_tpu = platform not in ("cpu", "gpu")
     if greek_backend is None:
-        # complex128 FFT does not compile on TPU: use the smooth/fluctuation
-        # peeled mixed-precision assembly there (exact-f64 moments + c64 FFT
-        # fluctuation correlations; see sfft_tpu/core/peel.py).
-        greek_backend = "peeled" if (dtype == "float64" and on_tpu) else "fft"
+        # complex128 FFT does not compile on TPU. Default = the CONTRACT mode
+        # (the reference computes everything in f64): exact-grade tables via
+        # the sliced-integer pair-FFT engine (core/exact_fft.py). The ~5x
+        # faster mixed-precision fast mode is greek_backend="peeled",
+        # fdiff_backend="fft32", solver="refined" (documented accuracy:
+        # ~7e-3 max-rel solution deviation on ill-conditioned systems).
+        greek_backend = "exact" if (dtype == "float64" and on_tpu) else "fft"
     if fdiff_backend is None:
-        fdiff_backend = "fft32" if (dtype == "float64" and on_tpu) else "fft"
+        fdiff_backend = "exact" if (dtype == "float64" and on_tpu) else "fft"
     if solver is None:
-        solver = "refined" if on_tpu else "lu"
+        solver = "exact" if (dtype == "float64" and on_tpu) else "lu"
 
     cfg = SFFTConfig(
         N0=int(NX),

@@ -82,6 +82,7 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
                 SI, SSc, ST, mJ, cfg.w0, cfg.w1,
                 backend=cfg.greek_backend, chunk=cfg.greek_chunk,
                 bg_spec=cfg.bg_basis,
+                n_active=cfg.scaling_basis.num_funcs(),
             )
             tables = GreekTables(
                 Pbb=tables.Pbb, Pbs=(s**3) * Pbs, Pss=(s**3) * Pss,

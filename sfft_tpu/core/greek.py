@@ -249,6 +249,7 @@ def greek_tables_separate(
     backend: str = "fft",
     chunk: int = 0,
     bg_spec=None,
+    n_active: int = 0,
 ):
     """Extra correlation tables for SEPARATE-VARYING scaling: the center-offset
     dofs attach to the sigma-weighted stack SSc = I * sigma_ij (zero-padded to
@@ -267,8 +268,10 @@ def greek_tables_separate(
                                              exact_fft2_pair)
 
         Fij = SI.shape[0]
+        Fs = n_active if n_active else SSc.shape[0]
+        SScA = SSc[:Fs]   # trailing planes are static zero padding — skip
         stack = jnp.concatenate(
-            [SI, SSc, J[None]], axis=0).astype(jnp.float64)
+            [SI, SScA, J[None]], axis=0).astype(jnp.float64)
         sp = exact_fft2_pair(stack, half=True)
         specI = CPair(sp.rh[:Fij], sp.rl[:Fij], sp.ih[:Fij], sp.il[:Fij])
         specS = CPair(sp.rh[Fij:-1], sp.rl[Fij:-1], sp.ih[Fij:-1],
@@ -279,11 +282,17 @@ def greek_tables_separate(
                                 symmetric=True)[:, :, 0, 0]
         Pts = exact_corr_window(specS, specJ, N0, N1, 0, 0)[:, 0, 0, 0]
         if bg_spec is not None:
-            Pgs = exact_bg_corr(SSc, bg_spec, N0, N1, 0, 0)[:, :, 0, 0]
+            Pgs = exact_bg_corr(SScA, bg_spec, N0, N1, 0, 0)[:, :, 0, 0]
         else:
             spT = exact_fft2_pair(ST.astype(jnp.float64), half=True)
             specT = CPair(spT.rh, spT.rl, spT.ih, spT.il)
             Pgs = exact_corr_window(specS, specT, N0, N1, 0, 0)[:, :, 0, 0]
+        npad = SSc.shape[0] - Fs
+        if npad:
+            Pbs = jnp.pad(Pbs, ((0, 0), (0, npad), (0, 0), (0, 0)))
+            Pss = jnp.pad(Pss, ((0, npad), (0, npad)))
+            Pgs = jnp.pad(Pgs, ((0, npad), (0, 0)))
+            Pts = jnp.pad(Pts, ((0, npad),))
         return Pbs, Pss, Pgs, Pts
     if backend == "fft32":
         specI = jnp.fft.rfft2(SI.astype(jnp.float32))

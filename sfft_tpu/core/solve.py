@@ -279,7 +279,12 @@ def solve_system(
     elif cfg.solver == "refined":
         x = _refined_solve(A, b)
     elif cfg.solver == "exact":
-        x = _exact_solve(A, b)
+        if A.dtype == jnp.float32:
+            # memory-driven f32 assembly (NEQ >= 8k): exact-f64 Cholesky on
+            # f32 data buys nothing and its slow-route n^3 cost explodes
+            x = _refined_solve(A, b)
+        else:
+            x = _exact_solve(A, b)
     elif cfg.solver == "blocked_cho":
         L = _blocked_cholesky(A)
         y = jax.scipy.linalg.solve_triangular(L, b, lower=True)

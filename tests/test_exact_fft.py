@@ -138,3 +138,76 @@ def test_engine_exact_backend_bspline_dense_knots(rng):
         a = np.asarray(a)
         b = np.asarray(b)
         assert np.max(np.abs(a - b)) <= 1e-12 * np.max(np.abs(a))
+
+
+def test_engine_exact_backend_separate_varying(rng):
+    """SEPARATE-VARYING B-spline config through the exact backend matches the
+    f64 FFT oracle (exercises the zero-pad-trimmed Pbs/Pss/Pgs/Pts path)."""
+    import dataclasses
+
+    from sfft_tpu.api.bspline import make_bspline_config
+    from sfft_tpu.core.engine import ElementalSFFT
+    from tests.test_engine import make_pair
+
+    N = 64
+    cfg = make_bspline_config(
+        N, N, 3, KerSpType="B-Spline", KerSpDegree=2,
+        KerIntKnotX=[0.5 + N / 2], KerIntKnotY=[0.5 + N / 2],
+        SEPARATE_SCALING=True, ScaSpType="Polynomial", ScaSpDegree=1,
+        BkgSpType="Polynomial", BkgSpDegree=0,
+        greek_backend="fft", fdiff_backend="fft", solver="lu")
+    assert cfg.scaling_mode == "SEPARATE-VARYING"
+    cfg_x = dataclasses.replace(cfg, greek_backend="exact",
+                                fdiff_backend="exact")
+    I, J = make_pair(rng, N0=N, N1=N)
+    sol0, diff0 = ElementalSFFT.ESS(I, J, cfg, Subtract=True)
+    sol1, diff1 = ElementalSFFT.ESS(I, J, cfg_x, Subtract=True)
+    sc = np.max(np.abs(np.asarray(sol0)))
+    assert np.max(np.abs(np.asarray(sol1) - np.asarray(sol0))) / sc < 1e-7
+    np.testing.assert_allclose(np.asarray(diff1), np.asarray(diff0),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fdiff_exact_matches_f64(rng):
+    """fdiff_backend='exact' reproduces the f64 Fourier difference to ~1e-10
+    (fft32 sits at ~2e-4 RMS — the reason the contract mode needs this)."""
+    import dataclasses
+
+    import jax
+
+    from sfft_tpu.core.engine import _solve_impl, _subtract_impl
+    from tests.test_engine import base_cfg, make_pair
+
+    cfg = base_cfg(N0=96, N1=96, w=3)
+    I, J = make_pair(rng, N0=96, N1=96)
+    Id, Jd = jnp.asarray(I), jnp.asarray(J)
+    sol = jax.jit(lambda a, b: _solve_impl(cfg, a, b))(Id, Jd)
+    d0 = np.asarray(jax.jit(
+        lambda a, b, s: _subtract_impl(cfg, a, b, s))(Id, Jd, sol))
+    cfgx = dataclasses.replace(cfg, fdiff_backend="exact")
+    dx = np.asarray(jax.jit(
+        lambda a, b, s: _subtract_impl(cfgx, a, b, s))(Id, Jd, sol))
+    assert np.sqrt(np.mean((dx - d0) ** 2)) < 1e-9
+
+
+def test_exact_solver_reaches_f64_floor(rng):
+    """solver='exact' (blocked Cholesky, HIGHEST f64 + refinement) matches
+    jnp.linalg.solve on an ill-conditioned SPD system where the f32-LU
+    refinement stalls."""
+    import jax
+
+    from sfft_tpu.core.solve import _exact_solve, _refined_solve
+
+    n = 300
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.logspace(0, -9, n)          # cond 1e9
+    A = (Q * lam) @ Q.T
+    A = 0.5 * (A + A.T)
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    x = np.asarray(jax.jit(_exact_solve)(jnp.asarray(A), jnp.asarray(b)))
+    x_np = np.linalg.solve(A, b)
+    # compare against numpy's f64 LU (same floor; both limited by cond*eps64)
+    assert np.linalg.norm(x - x_np) / np.linalg.norm(x_np) < 1e-5
+    r = A @ x - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
