@@ -58,7 +58,9 @@ def normalized_convolve(img, kernel):
 
 
 def run(out_dir: str, GKerHW: int = 11, lambda_reg: float = 3e-5,
-        mc_nsamp: int = 32):
+        mc_nsamp: int = 32, crop: int = 0, n_reg: int = 512):
+    """crop > 0 runs the whole pipeline on the [:crop, :crop] sub-stamp (the
+    always-on mini golden test uses this; the full 900^2 run is RUN_SLOW)."""
     os.makedirs(out_dir, exist_ok=True)
     t_all = time.time()
 
@@ -68,6 +70,10 @@ def run(out_dir: str, GKerHW: int = 11, lambda_reg: float = 3e-5,
     PSF_REF = fits.getdata(f"{CDIR}/auxiliary/{REFNAME}.WebbPSF.fits").T.astype(np.float64)
     PSF_SCI = fits.getdata(f"{CDIR}/auxiliary/{SCINAME}.WebbPSF.fits").T.astype(np.float64)
     SUBTMASK = fits.getdata(f"{CDIR}/auxiliary/{SCINAME}.mask4sfft.fits").T.astype(bool)
+    if crop:
+        lREF = lREF[:crop, :crop]
+        lSCI = lSCI[:crop, :crop]
+        SUBTMASK = SUBTMASK[:crop, :crop]
     N0, N1 = lREF.shape
 
     # ---- step 1: cross-convolution ------------------------------------
@@ -84,8 +90,8 @@ def run(out_dir: str, GKerHW: int = 11, lambda_reg: float = 3e-5,
     # ---- step 2: B-spline SFFT ----------------------------------------
     t0 = time.time()
     np.random.seed(10086)
-    XY_REG = np.array([np.random.uniform(10.0, N0 - 10.0, 512),
-                       np.random.uniform(10.0, N1 - 10.0, 512)]).T
+    XY_REG = np.array([np.random.uniform(10.0, N0 - 10.0, n_reg),
+                       np.random.uniform(10.0, N1 - 10.0, n_reg)]).T
     kw = dict(
         KerSpType="B-Spline", KerSpDegree=2,
         KerIntKnotX=[0.5 + N0 / 3, 0.5 + N0 * 2 / 3],
@@ -156,6 +162,9 @@ def run(out_dir: str, GKerHW: int = 11, lambda_reg: float = 3e-5,
     t0 = time.time()
     noise_lREF = fits.getdata(f"{CDIR}/auxiliary/{REFNAME}.noise.fits").T.astype(np.float64)
     noise_lSCI = fits.getdata(f"{CDIR}/auxiliary/{SCINAME}.noise.fits").T.astype(np.float64)
+    if crop:
+        noise_lREF = noise_lREF[:crop, :crop]
+        noise_lSCI = noise_lSCI[:crop, :crop]
     DCKerMean = DCKerStack.mean(axis=0)
     MKerMean = MKerStack.mean(axis=0)
 
@@ -196,6 +205,8 @@ def run(out_dir: str, GKerHW: int = 11, lambda_reg: float = 3e-5,
     corr = None
     if os.path.exists(check):
         ref_snr = fits.getdata(check).T.astype(np.float64)
+        if crop:
+            ref_snr = ref_snr[:crop, :crop]
         sel = (~bmask) & np.isfinite(ref_snr) & np.isfinite(SNR)
         corr = float(np.corrcoef(SNR[sel].ravel(), ref_snr[sel].ravel())[0, 1])
         rms = float(np.sqrt(np.mean((SNR[sel] - ref_snr[sel]) ** 2)))

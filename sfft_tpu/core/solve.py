@@ -80,7 +80,16 @@ def _blocked_cholesky(A: jnp.ndarray, nb: int = 256,
     for k in range(nblk):
         s = k * nb
         diag = Acur[s : s + nb, s : s + nb]
-        Lkk = chol_small(diag)
+        if precision is not None:
+            # library panel factorization: the nb x nb diagonal blocks of the
+            # equilibrated system are locally well-conditioned, so XLA's f64
+            # Cholesky (fast ~1e-7-grade internals) is fine for the PANELS —
+            # refinement absorbs it — while the column-by-column fori panel
+            # costs ~0.5 s of sequential scalar steps at NEQ=1740 (measured:
+            # 1204 ms -> 654 ms total solve, identical 6e-8 accuracy)
+            Lkk = jnp.linalg.cholesky(diag)
+        else:
+            Lkk = chol_small(diag)
         below = Acur[s + nb :, s : s + nb]
         Lbk = tri_solve_lower(Lkk, below) if below.shape[0] else below
         L = L.at[s : s + nb, s : s + nb].set(Lkk)
@@ -89,6 +98,33 @@ def _blocked_cholesky(A: jnp.ndarray, nb: int = 256,
             upd = jnp.dot(Lbk, Lbk.T, precision=precision)
             Acur = Acur.at[s + nb :, s + nb :].add(-upd)
     return L[:n, :n]
+
+
+def _blocked_trisolve(L: jnp.ndarray, b: jnp.ndarray, lower: bool,
+                      nb: int = 256) -> jnp.ndarray:
+    """Triangular solve with HIGHEST-precision off-diagonal updates.
+
+    XLA's TriangularSolve on TPU runs its internal f64 matmuls through the
+    fast ~1e-7 emulation; at cond ~3e8 that alone floors the solution at
+    ~1e-5 (measured on hardware) and refinement against it stalls. Blocked
+    substitution keeps the nb x nb panel solves (well-conditioned, local) on
+    the library path and forces every off-diagonal contraction through the
+    exact f64 route."""
+    n = L.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    nblk = -(-n // nb)
+    x = jnp.zeros_like(b)
+    order = range(nblk) if lower else range(nblk - 1, -1, -1)
+    for k in order:
+        s, e = k * nb, min((k + 1) * nb, n)
+        rhs = b[s:e]
+        if lower and s > 0:
+            rhs = rhs - jnp.dot(L[s:e, :s], x[:s], precision=hp)
+        if not lower and e < n:
+            rhs = rhs - jnp.dot(L[s:e, e:], x[e:], precision=hp)
+        xk = jax.scipy.linalg.solve_triangular(L[s:e, s:e], rhs, lower=lower)
+        x = x.at[s:e].set(xk)
+    return x
 
 
 def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
@@ -105,8 +141,8 @@ def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     L = _blocked_cholesky(As, precision=hp)
 
     def solve_tri(r):
-        y = jax.scipy.linalg.solve_triangular(L, r, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        y = _blocked_trisolve(L, r, lower=True)
+        return _blocked_trisolve(L.T, y, lower=False)
 
     x = solve_tri(bs)
     for _ in range(iters):
