@@ -103,8 +103,15 @@ def cpu_oracle(cfg_w, n, I_np, J_np, log):
     from sfft_tpu.core.engine import solve_and_subtract_fn
 
     cpu = jax.devices("cpu")[0]
+    # oracle solver = equilibrated + refined (residual ~1e-16): at this
+    # conditioning (cond ~2e14 raw) plain-LU solutions carry a ~6e-4 wobble
+    # in near-null directions — each LU implementation lands at a different
+    # point of the kappa*eps band (the reference's CuPy LU included). The
+    # refined solution is the well-defined comparison point; null-direction
+    # wobble barely moves the difference image, which is why diff parity is
+    # the contract's operative metric.
     cfg_cpu = make_config(n, n, cfg_w, dtype="float64", greek_backend="fft",
-                          fdiff_backend="fft", solver="lu", greek_chunk=0)
+                          fdiff_backend="fft", solver="exact", greek_chunk=0)
     key = hashlib.sha256(
         I_np.tobytes() + J_np.tobytes() + repr(cfg_cpu).encode()
     ).hexdigest()[:16]

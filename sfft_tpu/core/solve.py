@@ -127,7 +127,7 @@ def _blocked_trisolve(L: jnp.ndarray, b: jnp.ndarray, lower: bool,
     return x
 
 
-def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
     """f64-contract solve on TPU: Jacobi equilibration + blocked Cholesky with
     HIGHEST-precision (exact, slow-route) f64 contractions + exact-residual
     refinement. Unlike the f32-LU refinement, the iteration matrix here has
@@ -145,9 +145,19 @@ def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
         return _blocked_trisolve(L.T, y, lower=False)
 
     x = solve_tri(bs)
-    for _ in range(iters):
+    bnorm = jnp.linalg.norm(bs)
+
+    def body(state):
+        k, x, _ = state
         r = bs - jnp.dot(As, x, precision=hp)
-        x = x + solve_tri(r)
+        return k + 1, x + solve_tri(r), jnp.linalg.norm(r)
+
+    def cond(state):
+        k, _, rn = state
+        return jnp.logical_and(k < iters, rn > 1e-15 * bnorm)
+
+    state = (jnp.int32(0), x, bnorm)
+    _, x, _ = jax.lax.while_loop(cond, body, state)
     return x * d
 
 
