@@ -50,10 +50,15 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
     s = cfg.SCALE
     separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
 
-    if cfg.greek_backend == "peeled":
-        from sfft_tpu.core.peel import peeled_greek_tables
+    if cfg.greek_backend in ("peeled", "exact"):
+        if cfg.greek_backend == "peeled":
+            from sfft_tpu.core.peel import peeled_greek_tables
 
-        out = peeled_greek_tables(mI, mJ, cfg)
+            out = peeled_greek_tables(mI, mJ, cfg)
+        else:
+            from sfft_tpu.core.greek import greek_tables_exact
+
+            out = greek_tables_exact(mI, mJ, cfg)
         Comg, Cgam, Cthe, Cphi, Cdel = out[:5]
         tables = entangled_tables(
             cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
@@ -110,6 +115,10 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
 def _subtract_impl(
     cfg: SFFTConfig, I: jnp.ndarray, J: jnp.ndarray, solution: jnp.ndarray
 ) -> jnp.ndarray:
+    if cfg.fdiff_backend == "exact":
+        # pair-arithmetic path builds its own basis-weighted planes (each
+        # f64 elementwise plane product costs ~30 ms per 4K^2 on TPU)
+        return fdiff(cfg, solution, None, None, J, None, I=I)
     # fft32: the difference is computed in f32/c64 anyway — build the basis
     # plane stacks directly in f32 and skip the (expensive on TPU) f64
     # elementwise products.

@@ -104,12 +104,25 @@ def _two_sum(a, b):
 
 def _chain(groups, weights):
     """Compensated sum of f32 tensors with static power-of-2 weights
-    (descending). Returns (hi, lo) f32. Exact-integer group values."""
-    h = groups[0] * np.float32(weights[0])
+    (descending). Returns (hi, lo) f32. Exact-integer group values.
+
+    Terms whose weight is <= 2^-24 of the leading one are first summed in
+    plain f32 (their own rounding lands below 2^-48 of the total) — a TwoSum
+    per term is 6 memory passes over image-sized tensors and dominated the
+    FFT stage traffic."""
+    w0 = weights[0]
+    big = [(g, w) for g, w in zip(groups, weights) if w > w0 * 2.0 ** -24]
+    small = [(g, w) for g, w in zip(groups, weights) if w <= w0 * 2.0 ** -24]
+    h = big[0][0] * np.float32(big[0][1])
     l = jnp.zeros_like(h)
-    for g, w in zip(groups[1:], weights[1:]):
+    for g, w in big[1:]:
         h, e = _two_sum(h, g * np.float32(w))
         l = l + e
+    if small:
+        tail = small[0][0] * np.float32(small[0][1])
+        for g, w in small[1:]:
+            tail = tail + g * np.float32(w)
+        l = l + tail
     # renormalize (fence: stops (h + l) - h -> l from erasing the low part)
     h2 = _fence(h + l)
     l2 = l - (h2 - h)
@@ -401,6 +414,36 @@ def _pair_mul_static(v: CPair, W: np.ndarray) -> CPair:
     return CPair(ur, cr + e1, ui, ci + e2)
 
 
+def _pair_mul_static_rr(v: CPair, W: np.ndarray) -> CPair:
+    """REAL pair * static REAL factor (broadcastable), ~2^-48 relative.
+    Cheap: fused f32 elementwise — unlike an f64 multiply, which costs
+    ~30 ms per 4K^2 op on this TPU."""
+    wh = jnp.asarray(W.astype(np.float32))
+    wl = jnp.asarray((W - W.astype(np.float32).astype(np.float64))
+                     .astype(np.float32))
+    p, e = _two_prod(v.rh, jnp.broadcast_to(wh, np.broadcast_shapes(
+        v.rh.shape, wh.shape)))
+    lo = e + v.rh * wl + v.rl * wh
+    return CPair(p, lo, None, None)
+
+
+def pair_sep_mul(p: CPair, u: np.ndarray, v: np.ndarray) -> CPair:
+    """p * u[:, None] * v[None, :] for a real pair p and static 1D factors —
+    exact-grade basis-plane weighting without f64 elementwise ops."""
+    q = _pair_mul_static_rr(p, u[:, None])
+    return _pair_mul_static_rr(q, v[None, :])
+
+
+def pair_stack(pairs) -> CPair:
+    """Stack CPairs along a new leading axis (imag parts must match)."""
+    rh = jnp.stack([q.rh for q in pairs])
+    rl = jnp.stack([q.rl for q in pairs])
+    if pairs[0].ih is None:
+        return CPair(rh, rl, None, None)
+    return CPair(rh, rl, jnp.stack([q.ih for q in pairs]),
+                 jnp.stack([q.il for q in pairs]))
+
+
 def _pair_mul_static_real_in(v: CPair, W: np.ndarray) -> CPair:
     """Pair product for a REAL v (ih is None) with static complex W."""
     wr = jnp.asarray(W.real.astype(np.float32))
@@ -462,24 +505,40 @@ def exact_fft2_pair(F: jnp.ndarray, plane_chunk: int = 0,
 
     A leading stack axis is processed in chunks through lax.map: the
     transform body is compiled ONCE and peak memory stays bounded by the
-    chunk (slicing intermediates are ~40x the plane size in f32)."""
-    N0, N1 = F.shape[-2], F.shape[-1]
-    if F.ndim == 3:
+    chunk (slicing intermediates are ~40x the plane size in f32).
+
+    F may be an f64 array OR an already-pair-represented real CPair (the
+    engine builds basis-weighted planes directly in pair arithmetic, since
+    each f64 elementwise op costs ~30 ms per 4K^2 on this TPU)."""
+    is_pair = isinstance(F, CPair)
+    ref = F.rh if is_pair else F
+    N0, N1 = ref.shape[-2], ref.shape[-1]
+    if ref.ndim == 3:
         if plane_chunk <= 0:
             # keep per-chunk slicing transients well under 1 GB: the stage
             # group-concats (up to 9x64-wide per group, several live at once)
             # dominated HBM at 4K with 2-plane chunks (measured 20.5 GB peak)
             plane_chunk = int(max(1, min(8, 2 ** 24 // (N0 * N1))))
-        if F.shape[0] > plane_chunk:
-            npl = F.shape[0]
+        if ref.shape[0] > plane_chunk:
+            npl = ref.shape[0]
             pad = (-npl) % plane_chunk
-            Fp = jnp.pad(F, ((0, pad), (0, 0), (0, 0)))
-            Fp = Fp.reshape(-1, plane_chunk, N0, N1)
-            out = lax.map(lambda f: exact_fft2_pair(f, half=half), Fp)
+
+            def pf(v):
+                return jnp.pad(v, ((0, pad), (0, 0), (0, 0))).reshape(
+                    -1, plane_chunk, N0, N1)
+
+            if is_pair:
+                Fp = CPair(pf(F.rh), pf(F.rl), None, None)
+                out = lax.map(
+                    lambda f: exact_fft2_pair(CPair(f[0], f[1], None, None),
+                                              half=half),
+                    (Fp.rh, Fp.rl))
+            else:
+                out = lax.map(lambda f: exact_fft2_pair(f, half=half), pf(F))
             Nc = N1 // 2 + 1 if half else N1
             return CPair(*(None if v is None else
                            v.reshape(-1, N0, Nc)[:npl] for v in out))
-    x = pair_from_f64(F)
+    x = F if is_pair else pair_from_f64(F)
     y = exact_dft_axis(x, N1)
 
     def mv(v):
@@ -572,7 +631,8 @@ def exact_corr_window(specA: CPair, specB: CPair, N0: int, N1: int,
     E0, E1 = _corr_emats(N0, N1, wx, wy, half=half)
     if chunk is None:
         # keep the per-chunk pair-Hadamard + slice transients under ~1 GB
-        chunk = int(max(1, min(16, 2 ** 25 // (N0 * N1))))
+        # (sized on the actual spectra width — half-spectra double the chunk)
+        chunk = int(max(1, min(16, 2 ** 25 // (N0 * specA.rh.shape[-1]))))
 
     if symmetric:
         ia, jb = np.triu_indices(Fa)

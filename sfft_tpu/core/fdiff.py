@@ -150,10 +150,8 @@ def fdiff_conv(
 def fdiff_exact(
     cfg: SFFTConfig,
     solution: jnp.ndarray,
-    SI: jnp.ndarray,
-    ST: jnp.ndarray,
+    I: jnp.ndarray,
     J: jnp.ndarray,
-    SSc: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Exact-grade (double-float) difference construction on TPU.
 
@@ -171,26 +169,43 @@ def fdiff_exact(
       * inverse transform of the Hermitian half with weight-2 fold, again
         through the exact pair DFT (zero-extended k1 axis).
     """
+    from sfft_tpu.core.basis import basis_1d_tables
     from sfft_tpu.core.exact_fft import (CPair, _cmatmul_sliced,
                                          _pair_hadamard_conj, _two_sum,
                                          exact_dft_axis, exact_fft2_pair,
-                                         pair_from_f64)
+                                         pair_from_f64, pair_sep_mul,
+                                         pair_stack)
+    from sfft_tpu.core.indices import ref_basis_exponents
 
     N0, N1 = cfg.N0, cfg.N1
     N1h = N1 // 2 + 1
+    separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
     a_ijab, b_pq = split_solution(cfg, solution)
     W0, W1 = _phase_matrices(cfg, half=True)   # (N0, L0), (L1, N1h) c128
 
-    stack = [J[None], SI] if SSc is None else [J[None], SI, SSc]
-    sp = exact_fft2_pair(jnp.concatenate(stack, axis=0).astype(jnp.float64),
-                         half=True)
+    # pair-weighted planes (no f64 elementwise); identical expressions to
+    # greek_tables_exact so XLA CSEs the forward spectra in the fused
+    # solve+subtract step when the masked and unmasked inputs coincide
+    Ip = pair_from_f64(I.astype(jnp.float64))
+    Jp = pair_from_f64(J.astype(jnp.float64))
+    Uk, Vk = basis_1d_tables(cfg.kernel_basis, N0, N1)
+    exps_k = ref_basis_exponents(cfg.kernel_basis)
+    planes = [Jp] + [pair_sep_mul(Ip, Uk[:, i], Vk[:, j])
+                     for (i, j) in exps_k]
+    nss = 0
+    if separate_varying:
+        Us, Vs = basis_1d_tables(cfg.scaling_basis, N0, N1)
+        exps_s = ref_basis_exponents(cfg.scaling_basis)
+        planes += [pair_sep_mul(Ip, Us[:, i], Vs[:, j]) for (i, j) in exps_s]
+        nss = len(exps_s)
+    sp = exact_fft2_pair(pair_stack(planes), half=True)
 
     def sl(a, b):
         return CPair(sp.rh[a:b], sp.rl[a:b], sp.ih[a:b], sp.il[a:b])
 
     FJ = sl(0, 1)
     FI = sl(1, 1 + cfg.Fij)
-    FS = sl(1 + cfg.Fij, None) if SSc is not None else None
+    FS = sl(1 + cfg.Fij, 1 + cfg.Fij + nss) if separate_varying else None
 
     # --- kernel spectra K_ij = W0 @ A'_ij @ W1 (center-zeroed) -------------
     a00 = a_ijab[:, cfg.w0, cfg.w1]
@@ -242,7 +257,7 @@ def fdiff_exact(
         H = _pair_hadamard_conj(FIi, CPair(Ki.rh, Ki.rl, -Ki.ih, -Ki.il))
         acc = addp(acc, H)
     if FS is not None:
-        for i in range(cfg.Fij):
+        for i in range(nss):
             FSi = CPair(FS.rh[i], FS.rl[i], FS.ih[i], FS.il[i])
             acc = addp(acc, scale_pair(FSi, a00[i]))
 
@@ -286,9 +301,10 @@ def fdiff_exact(
     return (D - bgplane).astype(J.dtype)
 
 
-def fdiff(cfg: SFFTConfig, solution, SI, ST, J, SSc=None) -> jnp.ndarray:
+def fdiff(cfg: SFFTConfig, solution, SI, ST, J, SSc=None, I=None) -> jnp.ndarray:
     if cfg.fdiff_backend == "exact":
-        return fdiff_exact(cfg, solution, SI, ST, J, SSc)
+        assert I is not None, "fdiff_exact needs the unmasked image I"
+        return fdiff_exact(cfg, solution, I, J)
     if cfg.fdiff_backend == "fft":
         return fdiff_fft(cfg, solution, SI, ST, J, SSc)
     if cfg.fdiff_backend == "conv":

@@ -225,6 +225,105 @@ def exact_bg_corr(A: jnp.ndarray, bg_spec, N0: int, N1: int,
     return jnp.transpose(out, (3, 0, 1, 2))       # (Fa, Fpq, R0, R1)
 
 
+def _bg_roll_mats(bg_spec, N0, N1, wx, wy):
+    from sfft_tpu.core.basis import basis_1d_tables
+    from sfft_tpu.core.indices import ref_basis_exponents
+
+    U, V = basis_1d_tables(bg_spec, N0, N1)
+    exps = ref_basis_exponents(bg_spec)
+    F0, F1 = U.shape[1], V.shape[1]
+    R0, R1 = 2 * wx + 1, 2 * wy + 1
+    Ur = np.stack([np.roll(U, -l, axis=0) for l in range(-wx, wx + 1)], 1)
+    Vr = np.stack([np.roll(V, -l, axis=0) for l in range(-wy, wy + 1)], 1)
+    return (Ur.reshape(N0, R0 * F0), Vr.reshape(N1, R1 * F1),
+            exps, F0, F1, R0, R1)
+
+
+def exact_bg_corr_pair(Ap, bg_spec, N0: int, N1: int,
+                       wx: int, wy: int) -> jnp.ndarray:
+    """exact_bg_corr for a PAIR-represented real plane stack Ap (F, N0, N1):
+    both contractions run through the sliced-integer exact dots — no f64
+    elementwise and no Pallas dependence. Returns (F, Fpq, R0, R1) f64."""
+    from sfft_tpu.core.exact_fft import CPair, _cmatmul_sliced
+
+    Ur, Vr, exps, F0, F1, R0, R1 = _bg_roll_mats(bg_spec, N0, N1, wx, wy)
+    # step 1 (y): contract last axis with Vr (N1, R1*F1)
+    M1 = _cmatmul_sliced(Ap, Vr, None)               # pair (F, N0, R1*F1)
+    M1t = CPair(jnp.swapaxes(M1.rh, -1, -2), jnp.swapaxes(M1.rl, -1, -2),
+                None, None)                          # (F, R1*F1, N0)
+    M2 = _cmatmul_sliced(M1t, Ur, None)              # pair (F, R1*F1, R0*F0)
+    M = M2.rh.astype(jnp.float64) + M2.rl
+    M = M.reshape(-1, R1, F1, R0, F0)
+    out = jnp.stack([M[:, :, j, :, i] for (i, j) in exps], axis=1)
+    return jnp.transpose(out, (0, 1, 3, 2))          # (F, Fpq, R0, R1)
+
+
+def greek_tables_exact(I: jnp.ndarray, J: jnp.ndarray, cfg):
+    """All exact-grade tables for one config, built WITHOUT f64 elementwise
+    plane products: images are pair-split once, basis weightings run in
+    fused-f32 pair arithmetic (pair_sep_mul), one pair-FFT covers every
+    data plane (incl. SEPARATE-VARYING scaling planes), and background
+    blocks use rolled-basis sliced moments.
+
+    Returns (Comg, Cgam, Cthe, Cphi, Cdel[, (Pbs, Pss, Pgs, Pts)])."""
+    from sfft_tpu.core.basis import basis_1d_tables
+    from sfft_tpu.core.exact_fft import (CPair, exact_corr_window,
+                                         exact_fft2_pair, pair_from_f64,
+                                         pair_sep_mul, pair_stack)
+    from sfft_tpu.core.indices import ref_basis_exponents
+
+    N0, N1 = cfg.N0, cfg.N1
+    w0, w1 = cfg.w0, cfg.w1
+    separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
+    Ip = pair_from_f64(I.astype(jnp.float64))
+    Jp = pair_from_f64(J.astype(jnp.float64))
+    Uk, Vk = basis_1d_tables(cfg.kernel_basis, N0, N1)
+    exps_k = ref_basis_exponents(cfg.kernel_basis)
+    SIp = [pair_sep_mul(Ip, Uk[:, i], Vk[:, j]) for (i, j) in exps_k]
+    Fij = len(SIp)
+    planes = [Jp] + SIp
+    Fs = 0
+    if separate_varying:
+        Us, Vs = basis_1d_tables(cfg.scaling_basis, N0, N1)
+        exps_s = ref_basis_exponents(cfg.scaling_basis)
+        SScp = [pair_sep_mul(Ip, Us[:, i], Vs[:, j]) for (i, j) in exps_s]
+        Fs = len(SScp)
+        planes = planes + SScp
+    sp = exact_fft2_pair(pair_stack(planes), half=True)
+
+    def sl(a, b):
+        return CPair(sp.rh[a:b], sp.rl[a:b], sp.ih[a:b], sp.il[a:b])
+
+    specJ = sl(0, 1)
+    specI = sl(1, 1 + Fij)
+    Comg = exact_corr_window(specI, specI, N0, N1, 2 * w0, 2 * w1,
+                             symmetric=True)
+    Cthe = exact_corr_window(specI, specJ, N0, N1, w0, w1)[:, 0]
+    SIstack = pair_stack(SIp)
+    Cgam = exact_bg_corr_pair(SIstack, cfg.bg_basis, N0, N1, w0, w1)
+    Cphi = jnp.asarray(bg_static_gram(cfg.bg_basis, N0, N1))
+    Cdel = exact_bg_corr_pair(
+        CPair(Jp.rh[None], Jp.rl[None], None, None),
+        cfg.bg_basis, N0, N1, 0, 0)[0, :, 0, 0]
+    if not separate_varying:
+        return Comg, Cgam, Cthe, Cphi, Cdel
+
+    specS = sl(1 + Fij, 1 + Fij + Fs)
+    Pbs = exact_corr_window(specI, specS, N0, N1, w0, w1)
+    Pss = exact_corr_window(specS, specS, N0, N1, 0, 0,
+                            symmetric=True)[:, :, 0, 0]
+    Pts = exact_corr_window(specS, specJ, N0, N1, 0, 0)[:, 0, 0, 0]
+    SScstack = pair_stack(SScp)
+    Pgs = exact_bg_corr_pair(SScstack, cfg.bg_basis, N0, N1, 0, 0)[:, :, 0, 0]
+    npad = cfg.Fij - Fs
+    if npad:
+        Pbs = jnp.pad(Pbs, ((0, 0), (0, npad), (0, 0), (0, 0)))
+        Pss = jnp.pad(Pss, ((0, npad), (0, npad)))
+        Pgs = jnp.pad(Pgs, ((0, npad), (0, 0)))
+        Pts = jnp.pad(Pts, ((0, npad),))
+    return Comg, Cgam, Cthe, Cphi, Cdel, (Pbs, Pss, Pgs, Pts)
+
+
 def bg_static_gram(bg_spec, N0: int, N1: int) -> np.ndarray:
     """PHI block in closed form: <T_q, T_q'> = (sum_x u u') (sum_y v v') —
     separable exact host-side sums, zero device cost."""
