@@ -192,47 +192,16 @@ def _refined_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 3) -> jnp.ndarra
             return jax.scipy.linalg.lu_solve(
                 (lu, piv), r.astype(jnp.float32)).astype(b.dtype)
 
-    if A.dtype == jnp.float32:
-        x = f32_solve(bs)
-        for _ in range(iters):
-            r = bs - As @ x
-            x = x + f32_solve(r)
-        return x * d
-
-    # f64 system: plain refinement is Richardson iteration with rate
-    # cond(As) * eps32 — it STALLS (or diverges) once the equilibrated
-    # condition number passes ~1e7, which real SFFT systems do (measured
-    # 2.8e8 at 4K). Preconditioned CG with EXACT f64 matvecs (slow-exact XLA
-    # route; the matrix is a regularized Gram matrix, SPD) converges at rate
-    # set by cond(M^-1 As) ~ 1 + cond * eps32 instead, reaching the f64
-    # floor in tens of iterations.
-    def matvec(v):
-        return As @ v
-
-    def body(state):
-        k, x, r, z, p, rz = state
-        Ap_ = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap_)
-        x = x + alpha * p
-        r = r - alpha * Ap_
-        z = f32_solve(r)
-        rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
-        p = z + beta * p
-        return k + 1, x, r, z, p, rz_new
-
-    def cond_fn(state):
-        k, x, r, z, p, rz = state
-        return jnp.logical_and(k < 100,
-                               jnp.linalg.norm(r) > 1e-16 * bnorm)
-
-    bnorm = jnp.linalg.norm(bs)
-    x0 = f32_solve(bs)
-    r0 = bs - matvec(x0)
-    z0 = f32_solve(r0)
-    state = (jnp.int32(0), x0, r0, z0, z0, jnp.vdot(r0, z0))
-    state = jax.lax.while_loop(cond_fn, body, state)
-    return state[1] * d
+    # Fast-mode solver: its end-to-end accuracy is limited by the
+    # mixed-precision TABLES well before the solver floor (bench fast-mode
+    # parity is identical under plain refinement, 8-step PCG and 100-step
+    # PCG — all stall at cond*eps32 > 1 anyway), so take the cheapest route.
+    # The f64-contract path is solver='exact' (_exact_solve below).
+    x = f32_solve(bs)
+    for _ in range(iters):
+        r = bs - As @ x
+        x = x + f32_solve(r)
+    return x * d
 
 
 def _contig_segments(idx: np.ndarray):
