@@ -248,77 +248,89 @@ def _accum(outs, weights, sc, big: bool):
     return h * sc, l * sc
 
 
-def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool):
-    """Exact product contraction: data slices dsl (nsl_d, ..., K) int8 against
-    static slices Wsl (nsl_w, [B,] K, M) int8 -> f32 pair of (..., M) (or
-    batched (..., B, M)). Products accumulate in int32 EXACTLY (|prod| <=
-    2^12, depths < 2^17).
+def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
+    """Exact product contraction of ONE data slice-set against SEVERAL static
+    slice-sets at once (typically a complex matrix's real and imag parts,
+    stacked along the output axis so the data slices are read once).
+
+    dsl: (nsl_d, ..., K) int8 data slices; Wsl_parts: list of (nsl_w, [B,]
+    K, M) int8 static slice-sets. Returns one f32 (hi, lo) pair per part.
+    Products accumulate in int32 EXACTLY (|prod| <= 2^12, depths < 2^17).
 
     Two shapes of the same contraction, chosen by depth:
       * deep K (partial-iDFT stages, K = image axis): one dot per data slice
-        against ALL static slices stacked along the output axis — avoids both
-        giant concat buffers (9x data size) and many narrow dots;
+        against ALL static slices of ALL parts stacked along the output axis
+        — avoids giant concat buffers (9x data size) and narrow dots;
       * shallow K (DFT butterfly stages): one dot per weight group with the
-        group's slice pairs concatenated along K (output here is data-sized,
-        so output-stacking would multiply it by nsl_w)."""
+        group's slice pairs concatenated along K and the parts stacked along
+        the output (output here is data-sized, so slice-stacking it would
+        multiply it by nsl_w)."""
+    nparts = len(Wsl_parts)
     nsl_d = dsl.shape[0]
-    nsl_w = Wsl.shape[0]
+    nsl_w = Wsl_parts[0].shape[0]
     K = dsl.shape[-1]
-    sc = s_d * np.float32(s_w)
+    M = Wsl_parts[0].shape[-1]
+    Mp = -(-M // 64) * 64
+    groups = _group_combos(nsl_d, nsl_w, KMAX)
 
     if not batch_static and K >= 1024:
-        M = Wsl.shape[-1]
-        Mp = -(-M // 64) * 64
+        # columns ordered (part p, slice j) -> offset (p*nsl_w + j)*Mp
         Wstack = jnp.asarray(np.concatenate(
-            [_pad_cols(np.asarray(Wsl[j]), 64) for j in range(nsl_w)], axis=-1))
+            [_pad_cols(np.asarray(W[j]), 64)
+             for W in Wsl_parts for j in range(nsl_w)], axis=-1))
         per_i = []
         for i in range(nsl_d):
             per_i.append(lax.dot_general(
                 dsl[i], Wstack, (((dsl[i].ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32))
-        groups = _group_combos(nsl_d, nsl_w, KMAX)
-        outs, weights = [], []
-        for s_, combos in groups:
-            acc = None
-            for i, j in combos:
-                piece = per_i[i][..., j * Mp : j * Mp + M]
-                acc = piece if acc is None else acc + piece
-            outs.append(acc)
-            weights.append(2.0 ** (-NB * (s_ + 2)))
-        return _accum(outs, weights, sc, big=True)
+        results = []
+        for p, s_w in enumerate(s_w_parts):
+            outs, weights = [], []
+            for s_, combos in groups:
+                acc = None
+                for i, j in combos:
+                    off = (p * nsl_w + j) * Mp
+                    piece = per_i[i][..., off : off + M]
+                    acc = piece if acc is None else acc + piece
+                outs.append(acc)
+                weights.append(2.0 ** (-NB * (s_ + 2)))
+            results.append(_accum(outs, weights, s_d * np.float32(s_w),
+                                  big=True))
+        return results
 
-    # shallow-K path: f32 slices and f32 dots (exact: 6-bit-slice products
-    # are <= 2^12.6, group-concat depth <= 9*64, partial sums < 2^23 — all
-    # exactly representable integers in f32). f32 dots compile in seconds on
-    # the TPU where equivalent int8 graphs took minutes.
-    f32dot = dsl.dtype != jnp.int8
-    groups = _group_combos(nsl_d, nsl_w, KMAX)
-    Wsl_np = np.asarray(Wsl)
-    M = Wsl_np.shape[-1]
-    Wpad = _pad_cols(Wsl_np, 64)
-    acc_t = jnp.float32 if f32dot else jnp.int32
-    outs, weights = [], []
+    # shallow-K path: parts stacked along the output of each group dot
+    Wpads = [_pad_cols(np.asarray(W), 64) for W in Wsl_parts]
+    group_outs = []
     for s_, combos in groups:
         dcat = jnp.concatenate([dsl[i] for i, _ in combos], axis=-1)
         wcat = jnp.asarray(np.concatenate(
-            [Wpad[j] for _, j in combos], axis=-2))
+            [np.concatenate([W[j] for _, j in combos], axis=-2)
+             for W in Wpads], axis=-1))
         if batch_static:
-            # data (..., B, Kc), static (B, Kc, Mp): batch over B
+            # data (..., B, Kc), static (B, Kc, nparts*Mp): batch over B
             out = lax.dot_general(
                 dcat, wcat,
                 (((dcat.ndim - 1,), (1,)), ((dcat.ndim - 2,), (0,))),
-                preferred_element_type=acc_t,
+                preferred_element_type=jnp.int32,
                 precision=lax.Precision.HIGHEST)
             out = jnp.moveaxis(out, 0, -2)
         else:
             out = lax.dot_general(
                 dcat, wcat, (((dcat.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=acc_t,
+                preferred_element_type=jnp.int32,
                 precision=lax.Precision.HIGHEST)
-        outs.append(out[..., :M])
-        weights.append(2.0 ** (-NB * (s_ + 2)))
+        group_outs.append(out)
     big = 33 * 33 * max(len(c) for _, c in groups) * K >= 2 ** 24
-    return _accum(outs, weights, sc, big=big)
+    results = []
+    for p, s_w in enumerate(s_w_parts):
+        outs = [g[..., p * Mp : p * Mp + M] for g in group_outs]
+        weights = [2.0 ** (-NB * (s_ + 2)) for s_, _ in groups]
+        results.append(_accum(outs, weights, s_d * np.float32(s_w), big=big))
+    return results
+
+
+def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool):
+    return _sliced_dot_multi(dsl, s_d, [Wsl], [s_w], batch_static)[0]
 
 
 def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
@@ -338,19 +350,24 @@ def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
     have_wi = Wim is not None and np.max(np.abs(Wim)) > 0
     if have_wi:
         wi_sl, swi = _slice_static(Wim, int8=use_int8)
+        W_parts, s_parts = [wr_sl, wi_sl], [swr, swi]
+    else:
+        W_parts, s_parts = [wr_sl], [swr]
     if not data.is_real:
         di_sl, sdi = _slice_pair_real(data.ih, data.il, NSL_DATA, rowwise,
                                       int8=use_int8)
 
-    rr_h, rr_l = _sliced_dot(dr_sl, sdr, wr_sl, swr, batch_static)
+    outs_r = _sliced_dot_multi(dr_sl, sdr, W_parts, s_parts, batch_static)
+    rr_h, rr_l = outs_r[0]
     if have_wi:
-        ri_h, ri_l = _sliced_dot(dr_sl, sdr, wi_sl, swi, batch_static)
+        ri_h, ri_l = outs_r[1]
     else:
         ri_h = ri_l = jnp.zeros_like(rr_h)
     if not data.is_real:
-        ir_h, ir_l = _sliced_dot(di_sl, sdi, wr_sl, swr, batch_static)
+        outs_i = _sliced_dot_multi(di_sl, sdi, W_parts, s_parts, batch_static)
+        ir_h, ir_l = outs_i[0]
         if have_wi:
-            ii_h, ii_l = _sliced_dot(di_sl, sdi, wi_sl, swi, batch_static)
+            ii_h, ii_l = outs_i[1]
         else:
             ii_h = ii_l = jnp.zeros_like(ir_h)
         # (r + i i)(wr + i wi): re = r wr - i wi ; im = r wi + i wr

@@ -270,3 +270,33 @@ def test_multihost_survey_driver(rng):
         sol, rms = results[t]
         assert sol.shape == (cfg.NEQ,)
         assert np.isfinite(rms)
+
+
+def test_batched_subtract_exact_backend(rng):
+    """Survey mesh batching works with the f64-contract (exact) backends —
+    the TPU default config must vmap/shard cleanly."""
+    import dataclasses
+
+    from sfft_tpu.parallel.batch import batched_subtract, make_data_mesh
+    from tests.test_engine import base_cfg, make_pair
+
+    cfg = dataclasses.replace(base_cfg(N0=32, N1=32, w=1),
+                              greek_backend="exact", fdiff_backend="exact",
+                              solver="exact")
+    Is, Js = [], []
+    for k in range(8):
+        I, J = make_pair(rng, N0=32, N1=32)
+        Is.append(I)
+        Js.append(J)
+    I = np.stack(Is)
+    J = np.stack(Js)
+    sols, diffs, rms = batched_subtract(I, J, I, J, cfg, make_data_mesh(8))
+    assert sols.shape == (8, cfg.NEQ)
+    # spot-check one pair against the plain fft/lu engine
+    from sfft_tpu.core.engine import ElementalSFFT
+    cfg0 = base_cfg(N0=32, N1=32, w=1)
+    sol0, diff0 = ElementalSFFT.ESS(Is[0], Js[0], cfg0, Subtract=True)
+    sc = np.max(np.abs(np.asarray(sol0)))
+    assert np.max(np.abs(np.asarray(sols[0]) - np.asarray(sol0))) / sc < 1e-6
+    np.testing.assert_allclose(np.asarray(diffs[0]), np.asarray(diff0),
+                               rtol=1e-5, atol=1e-6)
