@@ -184,11 +184,6 @@ def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
     return jnp.stack(out), s
 
 
-@lru_cache(maxsize=256)
-def _static_slices_np(key, nsl=NSL_STATIC):
-    raise RuntimeError("use _slice_static directly")
-
-
 def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC, int8: bool = True):
     """Static real matrix -> (integer slices (nsl, ...), pow2 scale). numpy."""
     mx = np.max(np.abs(M))
@@ -320,7 +315,12 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
                 preferred_element_type=jnp.int32,
                 precision=lax.Precision.HIGHEST)
         group_outs.append(out)
-    big = 33 * 33 * max(len(c) for _, c in groups) * K >= 2 ** 24
+    # exact-int32-in-f32 bound: the LEADING slice reaches 64 (|r| <= 1), all
+    # later slices stay <= 33 (remainder <= half ulp of the previous slice),
+    # so a combo containing slice 0 can reach 64*33 per product — use that
+    # worst case (not 33*33) when deciding whether group sums can exceed
+    # f32's exact-integer range.
+    big = 64 * 33 * max(len(c) for _, c in groups) * K >= 2 ** 24
     results = []
     for p, s_w in enumerate(s_w_parts):
         outs = [g[..., p * Mp : p * Mp + M] for g in group_outs]

@@ -359,9 +359,6 @@ def greek_tables_separate(
       Pgs: CC(SSc_a, T_q)[0]; Pts: CC(SSc_a, J)[0].
     """
     N0, N1 = J.shape
-    Pss = dot_planes(SSc, SSc)
-    Pgs = dot_planes(SSc, ST)
-    Pts = dot_planes(SSc, J[None])[:, 0]
     if backend == "exact":
         from sfft_tpu.core.exact_fft import (CPair, exact_corr_window,
                                              exact_fft2_pair)
@@ -393,6 +390,9 @@ def greek_tables_separate(
             Pgs = jnp.pad(Pgs, ((0, npad), (0, 0)))
             Pts = jnp.pad(Pts, ((0, npad),))
         return Pbs, Pss, Pgs, Pts
+    Pss = dot_planes(SSc, SSc)
+    Pgs = dot_planes(SSc, ST)
+    Pts = dot_planes(SSc, J[None])[:, 0]
     if backend == "fft32":
         specI = jnp.fft.rfft2(SI.astype(jnp.float32))
         specS = jnp.fft.rfft2(SSc.astype(jnp.float32))

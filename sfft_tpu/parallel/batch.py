@@ -42,7 +42,8 @@ def _batched_fn(cfg: SFFTConfig, mesh: Mesh):
     def run(I, J, mI, mJ):
         I, J, mI, mJ = (jax.lax.with_sharding_constraint(x, sharded) for x in (I, J, mI, mJ))
         sols, diffs = vstep(I, J, mI, mJ)
-        # cross-device QA summary rides ICI: per-pair diff RMS gathered to all
+        # per-pair QA summary, sharded like the batch (each pair's RMS lives
+        # on that pair's device; callers fetch only their addressable shards)
         rms = jnp.sqrt(jnp.mean(diffs.astype(jnp.float32) ** 2, axis=(1, 2)))
         return sols, diffs, rms
 

@@ -126,10 +126,14 @@ def process_local_batch(
     sols, diffs, rms = run(I, J, mI, mJ)
 
     def to_local(garr):
-        shards = sorted(garr.addressable_shards, key=lambda s: s.index[0].start)
+        shards = sorted(garr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
-    return to_local(sols), to_local(diffs), np.asarray(rms)
+    # rms is sharded over the data mesh exactly like sols/diffs (one scalar
+    # per pair, living on that pair's device) — in a real multi-process run
+    # the remote shards are non-addressable, so fetch only the local ones.
+    return to_local(sols), to_local(diffs), to_local(rms)
 
 
 def run_survey_multihost(

@@ -155,17 +155,20 @@ def run_mesh_batched(
     VERBOSE_LEVEL: int = 1,
     mesh=None,
 ) -> Tuple[Dict[int, int], Dict[int, dict]]:
-    """Survey dispatch with homogeneous-group mesh batching.
+    """Survey dispatch with STREAMING homogeneous-group mesh batching.
 
-    Preprocess all tasks in a thread pool, group the survivors by their static
-    SFFTConfig (which pins shape + kernel HW + bases), and run each group of
-    size >= 2 as ONE sharded array program over the device mesh
-    (sfft_tpu/parallel/batch.py) — the TPU-native replacement for the
-    reference's one-thread-per-CUDA-device queue
-    (sfft/MultiEasySparsePacket.py:510-552). Singleton groups and tasks
-    needing contamination propagation take the per-task path. `group_inputs`
-    maps a prep product to (cfg, I, J, mI, mJ, batchable: bool); per-task
-    post-processing still runs through `subtract_fn(tid, prep, precomputed)`.
+    The prep thread pool and the mesh dispatcher run CONCURRENTLY: as prep
+    products arrive they are grouped by their static SFFTConfig (which pins
+    shape + kernel HW + bases), and the moment a group reaches the mesh size
+    it is dispatched as ONE sharded array program over the device mesh
+    (sfft_tpu/parallel/batch.py) — so preprocessing of later tasks overlaps
+    device subtraction of earlier ones, preserving the reference scheduler's
+    overlap property (sfft/MultiEasySparsePacket.py:930-940) in the batched
+    mode too. When the prep pool drains, remaining partial groups are padded
+    and flushed. Singleton groups and tasks needing contamination propagation
+    take the per-task path. `group_inputs` maps a prep product to
+    (cfg, I, J, mI, mJ, batchable: bool); per-task post-processing still runs
+    through `subtract_fn(tid, prep, precomputed)`.
     """
     from sfft_tpu.parallel.batch import batched_subtract, make_data_mesh
 
@@ -177,23 +180,38 @@ def run_mesh_batched(
         VERBOSE_LEVEL=VERBOSE_LEVEL,
     )
     t0 = time.time()
-    sched.run_prep_only()
     status, products = sched.status, sched.products
-
-    groups: Dict[object, List[int]] = {}
-    solo: List[int] = []
-    for tid in range(num_tasks):
-        if status[tid] != STATUS_PREP_OK:
-            continue
-        cfg, I, J, mI, mJ, batchable = group_inputs(products[tid]["prep"])
-        if batchable:
-            groups.setdefault(cfg, []).append(tid)
-        else:
-            solo.append(tid)
+    prep_threads = [threading.Thread(target=sched._prep_worker)
+                    for _ in range(max(1, NUM_THREADS_4PREPROC))]
+    for t in prep_threads:
+        t.start()
 
     if mesh is None:
         mesh = make_data_mesh()
     nd = mesh.devices.size
+
+    pending: Dict[object, List[int]] = {}   # cfg -> ready, undispatched tids
+    solo: List[int] = []
+    claimed: set = set()
+
+    def _poll_ready() -> None:
+        with sched.lock:
+            ready = [i for i, s in status.items()
+                     if s == STATUS_PREP_OK and i not in claimed]
+        for tid in ready:
+            claimed.add(tid)
+            try:
+                cfg, _I, _J, _mI, _mJ, batchable = \
+                    group_inputs(products[tid]["prep"])
+            except Exception:
+                if VERBOSE_LEVEL >= 1:
+                    traceback.print_exc()
+                status[tid] = STATUS_FAIL
+                continue
+            if batchable:
+                pending.setdefault(cfg, []).append(tid)
+            else:
+                solo.append(tid)
 
     def _finish(tid: int, precomputed) -> None:
         status[tid] = STATUS_SUB_RUNNING
@@ -208,14 +226,12 @@ def run_mesh_batched(
                 traceback.print_exc()
             status[tid] = STATUS_FAIL
 
-    for cfg, tids in groups.items():
-        if len(tids) < 2:
-            solo.extend(tids)
-            continue
+    def _dispatch(cfg, tids: List[int]) -> None:
         try:
             stacks = []
             for key in range(4):
-                arrs = [group_inputs(products[t]["prep"])[1 + key] for t in tids]
+                arrs = [group_inputs(products[t]["prep"])[1 + key]
+                        for t in tids]
                 stacks.append(np.stack(arrs))
             # pad to a multiple of the mesh size by repeating the last pair
             pad = (-len(tids)) % nd
@@ -237,8 +253,34 @@ def run_mesh_batched(
                 traceback.print_exc()
                 print("MeLOn WARNING: mesh-batched dispatch failed; "
                       "falling back to per-task path!")
-            solo.extend(t for t in tids if status[t] == STATUS_PREP_OK)
+            for tid in tids:
+                if status[tid] == STATUS_PREP_OK:
+                    _finish(tid, None)
 
+    # streaming loop: dispatch full groups while preps are still running
+    while True:
+        _poll_ready()
+        dispatched = False
+        for cfg in list(pending):
+            while len(pending[cfg]) >= nd:
+                tids = pending[cfg][:nd]
+                del pending[cfg][:nd]
+                _dispatch(cfg, tids)
+                dispatched = True
+        if not any(t.is_alive() for t in prep_threads):
+            break
+        if not dispatched:
+            time.sleep(0.01)  # reference: 10 ms nap while prep pending
+    for t in prep_threads:
+        t.join()
+
+    # drain: flush remaining partial groups (padded) and singletons
+    _poll_ready()
+    for cfg, tids in pending.items():
+        if len(tids) >= 2:
+            _dispatch(cfg, tids)
+        else:
+            solo.extend(tids)
     for tid in solo:
         _finish(tid, None)
 

@@ -25,12 +25,15 @@ from sfft_tpu.utils.table import Table
 
 
 def _remap_negate(seg: np.ndarray, old_labels, new_labels) -> np.ndarray:
-    """seg values in old_labels -> +new_labels; all other positive labels -> 0.
-    Equivalent to the reference's fastremap negate/flip trick
-    (sfft/AutoSparsePrep.py:60-76)."""
+    """seg values in old_labels -> +new_labels; all OTHER positive labels are
+    FLIPPED to negative (they become prohibited-zone markers). Equivalent to
+    the reference's fastremap negate/flip trick (sfft/AutoSparsePrep.py:60-77:
+    remap old -> -new with preserve_missing_labels, then multiply by -1, so
+    SubSources end positive and every non-SubSource island ends negative)."""
     out = np.zeros_like(seg)
     maxlab = int(seg.max())
-    lut = np.zeros(maxlab + 1, dtype=seg.dtype)
+    # default: non-SubSource island label L -> -L (prohibited zone)
+    lut = -np.arange(maxlab + 1, dtype=seg.dtype)
     for lo, ln in zip(np.asarray(old_labels, int), np.asarray(new_labels, int)):
         if 0 < lo <= maxlab:
             lut[lo] = ln
@@ -91,10 +94,14 @@ class AutoSparsePrep:
         PixA_SEGr = _remap_negate(PixA_SEGr, SEGL_SSr, SEGL_SS)
         PixA_SEGs = _remap_negate(PixA_SEGs, SEGL_SSs, SEGL_SS)
 
+        # Prohibited zone: pixels of NON-SubSource islands (negative labels
+        # after the remap) plus NaN pixels — dilation below must never extend
+        # a kept star's mask into them (reference sfft/AutoSparsePrep.py:83:
+        # ProZone = (PixA_SEGr < 0) | (PixA_SEGs < 0)).
         NaNmask_U = None
         NaNmask_REF = np.isnan(PixA_REF)
         NaNmask_SCI = np.isnan(PixA_SCI)
-        ProZone = np.zeros(PixA_REF.shape, bool)
+        ProZone = np.logical_or(PixA_SEGr < 0, PixA_SEGs < 0)
         if NaNmask_REF.any() or NaNmask_SCI.any():
             NaNmask_U = np.logical_or(NaNmask_REF, NaNmask_SCI)
             ProZone[NaNmask_U] = True

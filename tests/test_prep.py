@@ -149,6 +149,44 @@ def test_sparse_prep_and_easy_packet(tmp_path):
     assert np.sum(ss["MASK_PostAnomaly"]) <= max(2, 0.05 * len(ss))
 
 
+def test_run_image_mask_prozone_excludes_rejected_sources():
+    """Reference fidelity (sfft/AutoSparsePrep.py:60-90): non-SubSource
+    islands become negative labels and join the prohibited zone, so a kept
+    star's dilated mask can never swallow a rejected source's pixels — they
+    must stay at -128 and OUT of the active fit mask."""
+    from sfft_tpu.prep.sparse_prep import AutoSparsePrep
+    from sfft_tpu.utils.table import Table
+
+    N = 24
+    ref = np.full((N, N), 5.0)
+    sci = np.full((N, N), 6.0)
+    seg = np.zeros((N, N), int)
+    # kept star: label 1, a 3x3 island centered at (8, 8)
+    seg[7:10, 7:10] = 1
+    # rejected source (e.g. a variable): label 2, adjacent island at (8, 13)
+    seg[7:10, 12:15] = 2
+    prep = AutoSparsePrep(PixA_REF=ref, PixA_SCI=sci,
+                          REF_header=fits.Header(), SCI_header=fits.Header(),
+                          VERBOSE_LEVEL=0)
+    # only label 1 is a SubSource; label 2 was rejected upstream
+    ss = Table({"SEGLABEL_REF": np.array([1]), "SEGLABEL_SCI": np.array([1])})
+    ss["SEGLABEL"] = np.array([1])
+    d = prep.run_image_mask(ss, seg.copy(), seg.copy(),
+                            StarExt_iter=4, XY_PriorBan=None)
+    lmap = d["SFFT-LabelMap"]
+    act = d["Active-Mask"]
+    rej = seg == 2
+    # rejected island: prohibited (-128), never active, zeroed in mREF/mSCI
+    assert np.all(lmap[rej] == -128)
+    assert not np.any(act[rej])
+    assert np.all(d["PixA_mREF"][rej] == 0.0)
+    # the kept star still dilates into free background (label 1 spreads)...
+    assert np.sum(lmap == 1) > 9
+    # ...but dilation also never overwrote any prohibited pixel
+    assert np.all(lmap[rej] < 0)
+    assert np.all(d["PixA_mREF"][act] == 5.0)
+
+
 def test_crowded_prep_and_easy_packet(tmp_path):
     from sfft_tpu.api.easy_crowded import EasyCrowdedPacket
 
