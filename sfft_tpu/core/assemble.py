@@ -140,7 +140,10 @@ def assemble_system(cfg: SFFTConfig, t: GreekTables,
     oc = jnp.asarray(p["omg_cross"])
     orow = jnp.asarray(p["omg_row"])
     grow = jnp.asarray(p["g_row"])
-    CH = _omg_chunk(Fab) if odt != dt else Fab
+    # stream the OMG rows whenever the full-size intermediates would be big:
+    # at 13k dof the unchunked (Fij, Fij, Fab, Fab) gather transients are
+    # several x 1.4 GB each — chunking caps them regardless of output dtype
+    CH = _omg_chunk(Fab) if (odt != dt or Fij * Fab >= 8192) else Fab
 
     def rows_for(idx):
         """OMG rows for a row-offset subset idx (CH,): (Fij, CH, Fij*Fab)."""

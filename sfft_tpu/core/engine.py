@@ -96,19 +96,20 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
                 Pphi=tables.Pphi, Pdel=tables.Pdel,
             )
 
-    # Large systems from f64 tables: assemble to f32 (the delta-basis
-    # cancellation still happens in f64 inside the chunked gathers; only the
-    # cancelled small entries are rounded) — at 13k dof a full-f64 assembly +
-    # regularization + solve exceeds HBM.
+    # Large systems: contract configs (solver='exact') assemble in FULL f64 —
+    # the OMG block streams through row-offset chunks (lax.map) so peak HBM
+    # stays ~ the 1.4 GB f64 system + transients, and the solve reaches the
+    # f64 floor via f32-factor + exact-f64-residual refinement
+    # (core/solve.py:_refined_solve_f64). Non-contract fast configs keep the
+    # f32 assembly (the delta-basis cancellation still happens in f64 inside
+    # the chunked gathers; only the cancelled small entries are rounded).
     out_dtype = None
     if tables.Pbb.dtype == jnp.float64 and cfg.NEQ >= 8192 \
-            and jax.default_backend() not in ("cpu", "gpu"):
+            and jax.default_backend() not in ("cpu", "gpu") \
+            and cfg.solver != "exact":
         out_dtype = jnp.float32
     lhs, rhs = assemble_system(cfg, tables, out_dtype=out_dtype)
     lhs = apply_regularization(cfg, lhs)
-    # f32-assembled systems solve fully in f32 (avoids any f64 NEQ^2 buffer —
-    # at 13k dof that is the difference between fitting in HBM or not); only
-    # the solution is returned in f64.
     return solve_system(cfg, lhs, rhs).astype(dt)
 
 

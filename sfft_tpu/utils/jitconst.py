@@ -1,0 +1,109 @@
+"""jit with closure constants lifted to runtime arguments.
+
+Why: the exact-grade contract engine builds large static tables (sliced-int8
+DFT stage matrices, partial-iDFT phase matrices) as numpy constants inside
+the traced function, so they are EMBEDDED in the XLA executable. On the axon
+runtime the serialized executable (117+ MB for the 4K contract step) is
+shipped to the TPU at FIRST DISPATCH over a path far slower than the 47 MB/s
+H2D array lane — measured 420 s first execution (BENCH_r02). Lifting every
+traced constant to a runtime argument keeps the executable small (code only)
+and moves the table upload onto the fast array path, paid once per process.
+
+Mechanism: `jax.make_jaxpr` splits the function into (jaxpr, consts); the
+consts are device_put once and the jaxpr is re-evaluated under jit with the
+consts passed as leading runtime arguments — XLA sees them as parameters,
+not literals. Results are cached per (shape, dtype) signature exactly like
+jit's own trace cache.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import core as jax_core
+
+try:  # jax >= 0.4.x moved eval_jaxpr around; keep both routes
+    from jax.core import eval_jaxpr as _eval_jaxpr
+except ImportError:  # pragma: no cover
+    from jax._src.core import eval_jaxpr as _eval_jaxpr
+
+
+class ConstArgsJit:
+    """Callable wrapping `fn` so traced constants become runtime arguments."""
+
+    def __init__(self, fn: Callable, static_argnums: Tuple[int, ...] = ()):
+        self._fn = fn
+        self._static_argnums = tuple(static_argnums)
+        self._cache: Dict[Any, Tuple[Callable, list]] = {}
+
+    def _sig(self, args):
+        sig = []
+        for i, a in enumerate(args):
+            if i in self._static_argnums:
+                sig.append(("static", a))
+            else:
+                a = jnp.asarray(a)
+                sig.append((a.shape, str(a.dtype)))
+        return tuple(sig)
+
+    def _build(self, args):
+        closed = jax.make_jaxpr(self._fn)(*args)
+        consts = [jax.device_put(c) for c in closed.consts]
+        jaxpr = closed.jaxpr
+        n_out = len(jaxpr.outvars)
+
+        def run(consts_, *args_):
+            out = _eval_jaxpr(jaxpr, consts_, *args_)
+            return out[0] if n_out == 1 else tuple(out)
+
+        return jax.jit(run), consts
+
+    def lower(self, *args):
+        compiled, consts = self._entry(args)
+        return _Lowered(compiled, consts, args)
+
+    def _entry(self, args):
+        key = self._sig(args)
+        if key not in self._cache:
+            self._cache[key] = self._build(args)
+        return self._cache[key]
+
+    def __call__(self, *args):
+        compiled, consts = self._entry(args)
+        return compiled(consts, *args)
+
+
+class _Lowered:
+    """Minimal .lower()/.compile() shim matching the bench's timing protocol."""
+
+    def __init__(self, jfn, consts, args):
+        self._lowered = jfn.lower(consts, *args)
+        self._consts = consts
+
+    def compile(self):
+        compiled = self._lowered.compile()
+        consts = self._consts
+
+        class _Runner:
+            def __init__(self):
+                self.xla_compiled = compiled
+
+            def memory_analysis(self):
+                return compiled.memory_analysis()
+
+            def __call__(self, *args):
+                return compiled(consts, *args)
+
+        return _Runner()
+
+
+def jit_const_args(fn: Callable, static_argnums: Tuple[int, ...] = ()) -> ConstArgsJit:
+    """Drop-in jit replacement that passes traced constants as runtime args.
+
+    Use for programs whose traced bodies embed large numpy tables (the exact
+    contract engine); plain `jax.jit` re-ships those tables inside the
+    executable on every process start.
+    """
+    return ConstArgsJit(fn, static_argnums)

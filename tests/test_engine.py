@@ -120,6 +120,30 @@ def test_solvers_agree(rng, solver):
     assert np.allclose(np.asarray(sol), np.asarray(sol_ref), rtol=1e-6, atol=1e-8)
 
 
+def test_refined_solve_f64_reaches_f64_floor():
+    """Large-NEQ contract solver (f32 Cholesky factor + exact-f64-residual
+    refinement, core/solve.py:_refined_solve_f64) must hit the f64 floor on
+    an SPD system at the NIRCam-like conditioning (cond ~1e7, measured on
+    the real 13,226-dof system in tools/diag_nircam_f64.py)."""
+    import jax.numpy as jnp
+    from sfft_tpu.core.solve import _refined_solve_f64
+
+    rng = np.random.default_rng(414)
+    n = 384
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.logspace(0, -7, n)           # cond 1e7 after equilibration
+    A = (Q * lam) @ Q.T
+    A = 0.5 * (A + A.T)
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    x = np.asarray(_refined_solve_f64(jnp.asarray(A), jnp.asarray(b)))
+    # f64-grade: far below anything an f32 solve could reach (~cond*eps32
+    # ~ 0.6 relative); direct f64 reference for the error scale
+    x_ref = np.linalg.solve(A, b)
+    err = np.max(np.abs(x - x_ref)) / np.max(np.abs(x_ref))
+    assert err < 1e-9, err
+
+
 def test_general_subtract_with_masks(rng):
     I, J = make_pair(rng)
     mI, mJ = I.copy(), J.copy()
