@@ -130,14 +130,27 @@ def _subtract_impl(
     return fdiff(cfg, solution.astype(dt), SI, ST, J, SSc)
 
 
+def _jit(cfg: SFFTConfig, fn):
+    """jit, lifting traced constants to runtime arguments for the exact
+    backends: their sliced static tables would otherwise be EMBEDDED in the
+    executable, whose first dispatch on the axon runtime ships at well under
+    1 MB/s (measured 620 s for one 4K transform with 92 MB of constant-
+    bloated code vs 0.09 s steady-state — utils/jitconst.py)."""
+    if "exact" in (cfg.greek_backend, cfg.fdiff_backend):
+        from sfft_tpu.utils.jitconst import jit_const_args
+
+        return jit_const_args(fn)
+    return jax.jit(fn)
+
+
 @lru_cache(maxsize=64)
 def _jitted_solve(cfg: SFFTConfig):
-    return jax.jit(partial(_solve_impl, cfg))
+    return _jit(cfg, partial(_solve_impl, cfg))
 
 
 @lru_cache(maxsize=64)
 def _jitted_subtract(cfg: SFFTConfig):
-    return jax.jit(partial(_subtract_impl, cfg))
+    return _jit(cfg, partial(_subtract_impl, cfg))
 
 
 def solve_and_subtract_fn(cfg: SFFTConfig):
@@ -155,7 +168,7 @@ def solve_and_subtract_fn(cfg: SFFTConfig):
 
 @lru_cache(maxsize=64)
 def _jitted_solve_and_subtract(cfg: SFFTConfig):
-    return jax.jit(solve_and_subtract_fn(cfg))
+    return _jit(cfg, solve_and_subtract_fn(cfg))
 
 
 class ElementalSFFT:

@@ -40,7 +40,12 @@ import numpy as np
 
 NB = 6                  # bits per integer slice
 NSL_DATA = 9            # data slices (54 bits)
-NSL_STATIC = 9          # static-matrix slices
+NSL_STATIC = 8          # static-matrix slices (48 bits: the static DFT/phase
+                        # matrices are unit-scale, so slice 9 sat below the
+                        # pair lanes' 2^-48 floor — measured: windowed-corr
+                        # table error IDENTICAL at 1.462e-13 with 8 vs 9
+                        # (tools/diag_slice_tuning.py), while every deep-path
+                        # static operand narrows by 11%)
 KMAX = 8                # keep slice combos with i + j <= KMAX
 
 
@@ -184,6 +189,28 @@ def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
     return jnp.stack(out), s
 
 
+_INTERN: dict = {}
+
+
+def _intern(a: np.ndarray) -> np.ndarray:
+    """Return ONE canonical ndarray per content. The MLIR lowering caches
+    module constants by object identity, so interning the static tables
+    collapses what used to be 4-22 duplicated multi-MB hex blobs per module
+    (measured: the 4K contract StableHLO was 121.7 MB of which 119.5 MB was
+    duplicated constant text — the whole module must ship to the axon server
+    at compile/first-dispatch time, which dominated the 420 s cold start)."""
+    import hashlib
+
+    a = np.ascontiguousarray(a)
+    key = (a.dtype.str, a.shape, hashlib.sha1(a.tobytes()).digest())
+    got = _INTERN.get(key)
+    if got is None:
+        a.setflags(write=False)
+        _INTERN[key] = a
+        return a
+    return got
+
+
 def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC, int8: bool = True):
     """Static real matrix -> (integer slices (nsl, ...), pow2 scale). numpy."""
     mx = np.max(np.abs(M))
@@ -196,7 +223,7 @@ def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC, int8: bool = True):
         assert np.max(np.abs(p)) <= 127
         out.append(p.astype(np.int8) if int8 else p.astype(np.float32))
         r = r - p / sc
-    return np.stack(out), s
+    return _intern(np.stack(out)), s
 
 
 def _group_combos(nsl_d: int, nsl_w: int, kmax: int):
@@ -270,9 +297,9 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
 
     if not batch_static and K >= 1024:
         # columns ordered (part p, slice j) -> offset (p*nsl_w + j)*Mp
-        Wstack = jnp.asarray(np.concatenate(
+        Wstack = jnp.asarray(_intern(np.concatenate(
             [_pad_cols(np.asarray(W[j]), 64)
-             for W in Wsl_parts for j in range(nsl_w)], axis=-1))
+             for W in Wsl_parts for j in range(nsl_w)], axis=-1)))
         per_i = []
         for i in range(nsl_d):
             per_i.append(lax.dot_general(
@@ -298,9 +325,9 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
     group_outs = []
     for s_, combos in groups:
         dcat = jnp.concatenate([dsl[i] for i, _ in combos], axis=-1)
-        wcat = jnp.asarray(np.concatenate(
+        wcat = jnp.asarray(_intern(np.concatenate(
             [np.concatenate([W[j] for _, j in combos], axis=-2)
-             for W in Wpads], axis=-1))
+             for W in Wpads], axis=-1)))
         if batch_static:
             # data (..., B, Kc), static (B, Kc, nparts*Mp): batch over B
             out = lax.dot_general(
@@ -335,10 +362,15 @@ def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool):
 
 def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
                     batch_static: bool = False,
-                    rowwise: bool = False) -> CPair:
+                    rowwise: bool = False,
+                    real_out: bool = False) -> CPair:
     """Exact complex matmul: data (..., K) pair  @  static complex W.
     W layouts: (K, M), or (B, K, M) with batch_static=True batching over the
-    data's axis -2. Returns pair (..., M) (batched: (..., B, M))."""
+    data's axis -2. Returns pair (..., M) (batched: (..., B, M)).
+
+    real_out=True (complex data x complex W only): compute just the REAL
+    part (re = dr.wr - di.wi), skipping the two cross dots — the final
+    inverse-DFT stage of a real-valued output needs nothing else."""
     # int8 slices throughout: 4x less slice-buffer traffic than f32 slices
     # (measured 1.8x faster 4K plane FFTs) and exact int32 accumulation at
     # any depth. (The earlier compile-time pathology was the batched-static
@@ -356,6 +388,14 @@ def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
     if not data.is_real:
         di_sl, sdi = _slice_pair_real(data.ih, data.il, NSL_DATA, rowwise,
                                       int8=use_int8)
+
+    if real_out and not data.is_real and have_wi:
+        rr_h, rr_l = _sliced_dot_multi(dr_sl, sdr, [wr_sl], [swr],
+                                       batch_static)[0]
+        ii_h, ii_l = _sliced_dot_multi(di_sl, sdi, [wi_sl], [swi],
+                                       batch_static)[0]
+        zr_h, e1 = _two_sum(rr_h, -ii_h)
+        return CPair(zr_h, rr_l - ii_l + e1, None, None)
 
     outs_r = _sliced_dot_multi(dr_sl, sdr, W_parts, s_parts, batch_static)
     rr_h, rr_l = outs_r[0]
@@ -416,10 +456,12 @@ def _dft_stage_mats(N: int, inverse: bool):
 def _pair_mul_static(v: CPair, W: np.ndarray) -> CPair:
     """Elementwise complex pair product v * W with a static complex factor
     (broadcast over leading dims), accurate to ~2^-48 relative."""
-    wr = jnp.asarray(W.real.astype(np.float32))
-    wr_l = jnp.asarray((W.real - W.real.astype(np.float32)).astype(np.float32))
-    wi = jnp.asarray(W.imag.astype(np.float32))
-    wi_l = jnp.asarray((W.imag - W.imag.astype(np.float32)).astype(np.float32))
+    wr = jnp.asarray(_intern(W.real.astype(np.float32)))
+    wr_l = jnp.asarray(_intern(
+        (W.real - W.real.astype(np.float32)).astype(np.float32)))
+    wi = jnp.asarray(_intern(W.imag.astype(np.float32)))
+    wi_l = jnp.asarray(_intern(
+        (W.imag - W.imag.astype(np.float32)).astype(np.float32)))
     prr, err = _two_prod(v.rh, wr)
     pii, eii = _two_prod(v.ih, wi)
     pri, eri = _two_prod(v.rh, wi)
@@ -435,9 +477,11 @@ def _pair_mul_static_rr(v: CPair, W: np.ndarray) -> CPair:
     """REAL pair * static REAL factor (broadcastable), ~2^-48 relative.
     Cheap: fused f32 elementwise — unlike an f64 multiply, which costs
     ~30 ms per 4K^2 op on this TPU."""
-    wh = jnp.asarray(W.astype(np.float32))
-    wl = jnp.asarray((W - W.astype(np.float32).astype(np.float64))
-                     .astype(np.float32))
+    wh = jnp.asarray(_intern(np.asarray(W, np.float64).astype(np.float32)))
+    wl = jnp.asarray(_intern(
+        (np.asarray(W, np.float64)
+         - np.asarray(W, np.float64).astype(np.float32).astype(np.float64))
+        .astype(np.float32)))
     p, e = _two_prod(v.rh, jnp.broadcast_to(wh, np.broadcast_shapes(
         v.rh.shape, wh.shape)))
     lo = e + v.rh * wl + v.rl * wh
@@ -463,10 +507,12 @@ def pair_stack(pairs) -> CPair:
 
 def _pair_mul_static_real_in(v: CPair, W: np.ndarray) -> CPair:
     """Pair product for a REAL v (ih is None) with static complex W."""
-    wr = jnp.asarray(W.real.astype(np.float32))
-    wr_l = jnp.asarray((W.real - W.real.astype(np.float32)).astype(np.float32))
-    wi = jnp.asarray(W.imag.astype(np.float32))
-    wi_l = jnp.asarray((W.imag - W.imag.astype(np.float32)).astype(np.float32))
+    wr = jnp.asarray(_intern(W.real.astype(np.float32)))
+    wr_l = jnp.asarray(_intern(
+        (W.real - W.real.astype(np.float32)).astype(np.float32)))
+    wi = jnp.asarray(_intern(W.imag.astype(np.float32)))
+    wi_l = jnp.asarray(_intern(
+        (W.imag - W.imag.astype(np.float32)).astype(np.float32)))
     prr, err = _two_prod(v.rh, wr)
     pri, eri = _two_prod(v.rh, wi)
     cr = err + v.rh * wr_l + v.rl * wr
@@ -474,8 +520,14 @@ def _pair_mul_static_real_in(v: CPair, W: np.ndarray) -> CPair:
     return CPair(prr, cr, pri, ci)
 
 
-def exact_dft_axis(x: CPair, N: int, inverse: bool = False) -> CPair:
-    """Exact-grade DFT over the LAST axis (length N) of a pair array."""
+def exact_dft_axis(x: CPair, N: int, inverse: bool = False,
+                   real_out: bool = False) -> CPair:
+    """Exact-grade DFT over the LAST axis (length N) of a pair array.
+
+    real_out=True: return only the REAL part of the transform (as a real
+    pair) — the cross dots of the final butterfly stage are skipped, saving
+    a quarter of the axis work when the result is known to be real (the
+    inverse transform of a Hermitian-folded difference spectrum)."""
     R, S, DS, DR, tw = _dft_stage_mats(N, inverse)
     sh = x.rh.shape[:-1]
 
@@ -490,7 +542,7 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False) -> CPair:
             CPair(data.rh[..., 0], data.rl[..., 0],
                   None if data.ih is None else data.ih[..., 0],
                   None if data.il is None else data.il[..., 0]),
-            DS.real, DS.imag)
+            DS.real, DS.imag, real_out=real_out)
         return out
     # stage 1: G[a, d] = sum_b x[b, a] DS[b, d] — contract b (axis -2).
     # move a before b so the contraction axis is last: (..., a, b)
@@ -503,11 +555,11 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False) -> CPair:
     U = _pair_mul_static(G, tw)
     # stage 2: X[S c + d] = sum_a U[a, d] DR[a, c] — contract a
     d2 = CPair(mv(U.rh), mv(U.rl), mv(U.ih), mv(U.il))  # (..., d, a)
-    V = _cmatmul_sliced(d2, DR.real, DR.imag)           # (..., d, c)
+    V = _cmatmul_sliced(d2, DR.real, DR.imag, real_out=real_out)  # (..., d, c)
     # X[k] with k = S c + d -> layout (..., c, d)
 
     def fin(v):
-        return jnp.swapaxes(v, -1, -2).reshape(sh + (N,))
+        return None if v is None else jnp.swapaxes(v, -1, -2).reshape(sh + (N,))
 
     return CPair(fin(V.rh), fin(V.rl), fin(V.ih), fin(V.il))
 

@@ -271,22 +271,30 @@ def fdiff_exact(
                di, FJ.il[0] - m.il + ei)
 
     # --- inverse transform of the Hermitian half ---------------------------
+    # Axis order matters: run the axis-0 inverse FIRST, while the spectrum
+    # still has only N1h = N1/2+1 columns (half the work of a full-width
+    # axis), then the axis-1 inverse with the Hermitian fold (weight-2
+    # interior columns; valid because Z[x, N1-v] = conj(Z[x, v]) after the
+    # axis-0 transform of a real-image spectrum) asking for the REAL part
+    # only — the final butterfly stage then skips its two cross dots.
     fold = np.full(N1h, 2.0)
     fold[0] = 1.0
     if N1 % 2 == 0:
         fold[-1] = 1.0
     foldj = jnp.asarray(fold, jnp.float32)
     FDw = CPair(FD.rh * foldj, FD.rl * foldj, FD.ih * foldj, FD.il * foldj)
-    pad = N1 - N1h
-    FDp = CPair(*(jnp.pad(v, ((0, 0), (0, pad))) for v in FDw))
-    y = exact_dft_axis(FDp, N1, inverse=True)
 
     def mv(v):
         return None if v is None else jnp.swapaxes(v, -1, -2)
 
-    z = exact_dft_axis(CPair(mv(y.rh), mv(y.rl), mv(y.ih), mv(y.il)),
-                       N0, inverse=True)
-    D = (mv(z.rh).astype(jnp.float64) + mv(z.rl)) / (N0 * N1)
+    zt = exact_dft_axis(CPair(mv(FDw.rh), mv(FDw.rl), mv(FDw.ih),
+                              mv(FDw.il)), N0, inverse=True)   # (N1h, N0)
+    z = CPair(mv(zt.rh), mv(zt.rl), mv(zt.ih), mv(zt.il))      # (N0, N1h)
+    pad = N1 - N1h
+    zp = CPair(*(None if v is None else jnp.pad(v, ((0, 0), (0, pad)))
+                 for v in z))
+    y = exact_dft_axis(zp, N1, inverse=True, real_out=True)    # real pair
+    D = (y.rh.astype(jnp.float64) + y.rl) / (N0 * N1)
 
     # --- background term, exactly, in image space --------------------------
     from sfft_tpu.core.basis import basis_1d_tables

@@ -22,7 +22,7 @@ from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import core as jax_core
+import numpy as np
 
 try:  # jax >= 0.4.x moved eval_jaxpr around; keep both routes
     from jax.core import eval_jaxpr as _eval_jaxpr
@@ -49,8 +49,20 @@ class ConstArgsJit:
         return tuple(sig)
 
     def _build(self, args):
+        import hashlib
+
         closed = jax.make_jaxpr(self._fn)(*args)
-        consts = [jax.device_put(c) for c in closed.consts]
+        # dedupe identical constants before upload: distinct numpy objects
+        # with equal content (repeated static-table builds) map to ONE
+        # device buffer
+        uniq = {}
+        consts = []
+        for c in closed.consts:
+            a = np.asarray(c)
+            key = (a.dtype.str, a.shape, hashlib.sha1(a.tobytes()).digest())
+            if key not in uniq:
+                uniq[key] = jax.device_put(c)
+            consts.append(uniq[key])
         jaxpr = closed.jaxpr
         n_out = len(jaxpr.outvars)
 
