@@ -270,14 +270,17 @@ def _accum(outs, weights, sc, big: bool):
     return h * sc, l * sc
 
 
-def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
+def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool,
+                      M: int):
     """Exact product contraction of ONE data slice-set against SEVERAL static
     slice-sets at once (typically a complex matrix's real and imag parts,
     stacked along the output axis so the data slices are read once).
 
     dsl: (nsl_d, ..., K) int8 data slices; Wsl_parts: list of (nsl_w, [B,]
-    K, M) int8 static slice-sets. Returns one f32 (hi, lo) pair per part.
-    Products accumulate in int32 EXACTLY (|prod| <= 2^12, depths < 2^17).
+    K, Mp) int8 static slice-sets, PRE-PADDED to Mp (multiple of 64) with M
+    true output columns. Parts may be numpy or device arrays (see
+    _static_slices_for). Returns one f32 (hi, lo) pair per part. Products
+    accumulate in int32 EXACTLY (|prod| <= 2^12, depths < 2^17).
 
     Two shapes of the same contraction, chosen by depth:
       * deep K (partial-iDFT stages, K = image axis): one dot per data slice
@@ -291,15 +294,19 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
     nsl_d = dsl.shape[0]
     nsl_w = Wsl_parts[0].shape[0]
     K = dsl.shape[-1]
-    M = Wsl_parts[0].shape[-1]
-    Mp = -(-M // 64) * 64
+    Mp = Wsl_parts[0].shape[-1]
     groups = _group_combos(nsl_d, nsl_w, KMAX)
+
+    def scaled(s_d_, s_w_):
+        if isinstance(s_w_, jnp.ndarray):
+            return s_d_ * s_w_.astype(jnp.float32)
+        return s_d_ * np.float32(s_w_)
 
     if not batch_static and K >= 1024:
         # columns ordered (part p, slice j) -> offset (p*nsl_w + j)*Mp
-        Wstack = jnp.asarray(_intern(np.concatenate(
-            [_pad_cols(np.asarray(W[j]), 64)
-             for W in Wsl_parts for j in range(nsl_w)], axis=-1)))
+        Wstack = jnp.concatenate(
+            [jnp.asarray(W[j]) for W in Wsl_parts for j in range(nsl_w)],
+            axis=-1)
         per_i = []
         for i in range(nsl_d):
             per_i.append(lax.dot_general(
@@ -316,18 +323,16 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
                     acc = piece if acc is None else acc + piece
                 outs.append(acc)
                 weights.append(2.0 ** (-NB * (s_ + 2)))
-            results.append(_accum(outs, weights, s_d * np.float32(s_w),
-                                  big=True))
+            results.append(_accum(outs, weights, scaled(s_d, s_w), big=True))
         return results
 
     # shallow-K path: parts stacked along the output of each group dot
-    Wpads = [_pad_cols(np.asarray(W), 64) for W in Wsl_parts]
     group_outs = []
     for s_, combos in groups:
         dcat = jnp.concatenate([dsl[i] for i, _ in combos], axis=-1)
-        wcat = jnp.asarray(_intern(np.concatenate(
-            [np.concatenate([W[j] for _, j in combos], axis=-2)
-             for W in Wpads], axis=-1)))
+        wcat = jnp.concatenate(
+            [jnp.concatenate([jnp.asarray(W[j]) for _, j in combos], axis=-2)
+             for W in Wsl_parts], axis=-1)
         if batch_static:
             # data (..., B, Kc), static (B, Kc, nparts*Mp): batch over B
             out = lax.dot_general(
@@ -352,12 +357,31 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool):
     for p, s_w in enumerate(s_w_parts):
         outs = [g[..., p * Mp : p * Mp + M] for g in group_outs]
         weights = [2.0 ** (-NB * (s_ + 2)) for s_, _ in groups]
-        results.append(_accum(outs, weights, s_d * np.float32(s_w), big=big))
+        results.append(_accum(outs, weights, scaled(s_d, s_w), big=big))
     return results
 
 
-def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool):
-    return _sliced_dot_multi(dsl, s_d, [Wsl], [s_w], batch_static)[0]
+def _static_slices_for(M: np.ndarray, nsl: int = NSL_STATIC):
+    """Integer slices of a static real matrix, columns pre-padded to a
+    multiple of 64. BIG tables (the partial-iDFT phase matrices, >= 128 KB of
+    slices) are built ON DEVICE from a compact f32 (hi, lo) pair parent via
+    _slice_pair_real: the executable then carries no multi-MB int8 literal
+    (which ships at <1 MB/s at first dispatch on axon) and no multi-MB int8
+    argument either — just a small f64-grade parent that is ~nsl x smaller.
+    Small tables stay host-built numpy (embedded or lifted, both cheap).
+
+    Returns (slices (nsl, K, Mp) [np or jnp], scale [float or traced])."""
+    Mp_ = _pad_cols(np.asarray(M, np.float64), 64)
+    if Mp_.size * nsl >= 2 ** 17:
+        hi = _intern(Mp_.astype(np.float32))
+        lo = _intern((Mp_ - Mp_.astype(np.float32)).astype(np.float32))
+        return _slice_pair_real(jnp.asarray(hi), jnp.asarray(lo), nsl,
+                                rowwise=False, int8=True)
+    return _slice_static(Mp_, nsl)
+
+
+def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool, M: int):
+    return _sliced_dot_multi(dsl, s_d, [Wsl], [s_w], batch_static, M)[0]
 
 
 def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
@@ -375,36 +399,36 @@ def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
     # (measured 1.8x faster 4K plane FFTs) and exact int32 accumulation at
     # any depth. (The earlier compile-time pathology was the batched-static
     # dot + odd output dims, not int8 itself.)
-    use_int8 = True
-    wr_sl, swr = _slice_static(Wre, int8=use_int8)
+    M = Wre.shape[-1]
+    wr_sl, swr = _static_slices_for(Wre)
     dr_sl, sdr = _slice_pair_real(data.rh, data.rl, NSL_DATA, rowwise,
-                                  int8=use_int8)
+                                  int8=True)
     have_wi = Wim is not None and np.max(np.abs(Wim)) > 0
     if have_wi:
-        wi_sl, swi = _slice_static(Wim, int8=use_int8)
+        wi_sl, swi = _static_slices_for(Wim)
         W_parts, s_parts = [wr_sl, wi_sl], [swr, swi]
     else:
         W_parts, s_parts = [wr_sl], [swr]
     if not data.is_real:
         di_sl, sdi = _slice_pair_real(data.ih, data.il, NSL_DATA, rowwise,
-                                      int8=use_int8)
+                                      int8=True)
 
     if real_out and not data.is_real and have_wi:
         rr_h, rr_l = _sliced_dot_multi(dr_sl, sdr, [wr_sl], [swr],
-                                       batch_static)[0]
+                                       batch_static, M)[0]
         ii_h, ii_l = _sliced_dot_multi(di_sl, sdi, [wi_sl], [swi],
-                                       batch_static)[0]
+                                       batch_static, M)[0]
         zr_h, e1 = _two_sum(rr_h, -ii_h)
         return CPair(zr_h, rr_l - ii_l + e1, None, None)
 
-    outs_r = _sliced_dot_multi(dr_sl, sdr, W_parts, s_parts, batch_static)
+    outs_r = _sliced_dot_multi(dr_sl, sdr, W_parts, s_parts, batch_static, M)
     rr_h, rr_l = outs_r[0]
     if have_wi:
         ri_h, ri_l = outs_r[1]
     else:
         ri_h = ri_l = jnp.zeros_like(rr_h)
     if not data.is_real:
-        outs_i = _sliced_dot_multi(di_sl, sdi, W_parts, s_parts, batch_static)
+        outs_i = _sliced_dot_multi(di_sl, sdi, W_parts, s_parts, batch_static, M)
         ir_h, ir_l = outs_i[0]
         if have_wi:
             ii_h, ii_l = outs_i[1]

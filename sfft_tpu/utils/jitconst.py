@@ -3,21 +3,26 @@
 Why: the exact-grade contract engine builds large static tables (sliced-int8
 DFT stage matrices, partial-iDFT phase matrices) as numpy constants inside
 the traced function, so they are EMBEDDED in the XLA executable. On the axon
-runtime the serialized executable (117+ MB for the 4K contract step) is
-shipped to the TPU at FIRST DISPATCH over a path far slower than the 47 MB/s
-H2D array lane — measured 420 s first execution (BENCH_r02). Lifting every
-traced constant to a runtime argument keeps the executable small (code only)
-and moves the table upload onto the fast array path, paid once per process.
+runtime the executable ships to the TPU at FIRST DISPATCH at well under
+1 MB/s — measured 620 s for a single 4K transform whose code section carried
+92 MB of constants (BENCH_r02's 420 s contract cold start). Lifting every
+traced constant to a runtime argument keeps the executable small (pure code,
+2.2 MB for the full 4K contract step) and moves the table upload onto the
+47 MB/s H2D array lane, paid once per process.
 
 Mechanism: `jax.make_jaxpr` splits the function into (jaxpr, consts); the
-consts are device_put once and the jaxpr is re-evaluated under jit with the
-consts passed as leading runtime arguments — XLA sees them as parameters,
-not literals. Results are cached per (shape, dtype) signature exactly like
-jit's own trace cache.
+consts are deduped by content, device_put once, and the jaxpr is re-evaluated
+under jit with the consts passed as leading runtime arguments — XLA sees them
+as parameters, not literals. The jit is compiled with AUTO input layouts and
+the consts are pre-placed in the compiler-chosen layouts: without this, XLA
+re-lays-out every table at every call (measured +630 ms per 4K contract call
+for 325 MB of argument tables). Results are cached per (shape, dtype)
+signature exactly like jit's own trace cache.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -30,92 +35,93 @@ except ImportError:  # pragma: no cover
     from jax._src.core import eval_jaxpr as _eval_jaxpr
 
 
+def _dedupe_device_put(consts):
+    """device_put each const once per distinct content."""
+    uniq = {}
+    out = []
+    for c in consts:
+        a = np.asarray(c)
+        key = (a.dtype.str, a.shape, hashlib.sha1(a.tobytes()).digest())
+        if key not in uniq:
+            uniq[key] = jax.device_put(c)
+        out.append(uniq[key])
+    return out
+
+
+class _Executable:
+    """Compiled program + pre-laid-out constants; call with the user args."""
+
+    def __init__(self, compiled, consts):
+        self._compiled = compiled
+        self._consts = consts
+
+    def memory_analysis(self):
+        return self._compiled.memory_analysis()
+
+    def __call__(self, *args):
+        return self._compiled(self._consts, *args)
+
+
 class ConstArgsJit:
     """Callable wrapping `fn` so traced constants become runtime arguments."""
 
-    def __init__(self, fn: Callable, static_argnums: Tuple[int, ...] = ()):
+    def __init__(self, fn: Callable):
         self._fn = fn
-        self._static_argnums = tuple(static_argnums)
-        self._cache: Dict[Any, Tuple[Callable, list]] = {}
+        self._cache: Dict[Any, _Executable] = {}
 
     def _sig(self, args):
-        sig = []
-        for i, a in enumerate(args):
-            if i in self._static_argnums:
-                sig.append(("static", a))
-            else:
-                a = jnp.asarray(a)
-                sig.append((a.shape, str(a.dtype)))
-        return tuple(sig)
+        return tuple((jnp.asarray(a).shape, str(jnp.asarray(a).dtype))
+                     for a in args)
 
-    def _build(self, args):
-        import hashlib
-
+    def _build(self, args) -> _Executable:
         closed = jax.make_jaxpr(self._fn)(*args)
-        # dedupe identical constants before upload: distinct numpy objects
-        # with equal content (repeated static-table builds) map to ONE
-        # device buffer
-        uniq = {}
-        consts = []
-        for c in closed.consts:
-            a = np.asarray(c)
-            key = (a.dtype.str, a.shape, hashlib.sha1(a.tobytes()).digest())
-            if key not in uniq:
-                uniq[key] = jax.device_put(c)
-            consts.append(uniq[key])
+        consts = _dedupe_device_put(closed.consts)
         jaxpr = closed.jaxpr
         n_out = len(jaxpr.outvars)
+        n_const = len(consts)
 
         def run(consts_, *args_):
             out = _eval_jaxpr(jaxpr, consts_, *args_)
             return out[0] if n_out == 1 else tuple(out)
 
-        return jax.jit(run), consts
+        # NOTE: compiling with AUTO input layouts (jax.experimental.layout)
+        # and pre-placing the consts in the compiler-chosen tiled layouts
+        # looked like the clean fix for per-call parameter re-layout, but on
+        # the axon runtime executing such a program wedges for tens of
+        # minutes (measured). Default layouts + device-derived int8 tables
+        # (exact_fft._slice_static_dev) achieve the same effect portably.
+        del n_const
+        compiled = jax.jit(run).lower(consts, *args).compile()
+        return _Executable(compiled, consts)
 
-    def lower(self, *args):
-        compiled, consts = self._entry(args)
-        return _Lowered(compiled, consts, args)
-
-    def _entry(self, args):
+    def _entry(self, args) -> _Executable:
         key = self._sig(args)
         if key not in self._cache:
             self._cache[key] = self._build(args)
         return self._cache[key]
 
+    def lower(self, *args):
+        return _Lowered(self, args)
+
     def __call__(self, *args):
-        compiled, consts = self._entry(args)
-        return compiled(consts, *args)
+        return self._entry(args)(*args)
 
 
 class _Lowered:
-    """Minimal .lower()/.compile() shim matching the bench's timing protocol."""
+    """Minimal .lower()/.compile() shim matching jit's AOT timing protocol
+    (the expensive build happens in compile(), like jit)."""
 
-    def __init__(self, jfn, consts, args):
-        self._lowered = jfn.lower(consts, *args)
-        self._consts = consts
+    def __init__(self, owner: ConstArgsJit, args):
+        self._owner = owner
+        self._args = args
 
-    def compile(self):
-        compiled = self._lowered.compile()
-        consts = self._consts
-
-        class _Runner:
-            def __init__(self):
-                self.xla_compiled = compiled
-
-            def memory_analysis(self):
-                return compiled.memory_analysis()
-
-            def __call__(self, *args):
-                return compiled(consts, *args)
-
-        return _Runner()
+    def compile(self) -> _Executable:
+        return self._owner._entry(self._args)
 
 
-def jit_const_args(fn: Callable, static_argnums: Tuple[int, ...] = ()) -> ConstArgsJit:
-    """Drop-in jit replacement that passes traced constants as runtime args.
-
-    Use for programs whose traced bodies embed large numpy tables (the exact
-    contract engine); plain `jax.jit` re-ships those tables inside the
-    executable on every process start.
-    """
-    return ConstArgsJit(fn, static_argnums)
+def jit_const_args(fn: Callable) -> ConstArgsJit:
+    """Drop-in jit replacement that passes traced constants as runtime args
+    in compiler-chosen layouts. Use for programs whose traced bodies embed
+    large numpy tables (the exact contract engine); plain `jax.jit` ships
+    those tables inside the executable at every process start."""
+    return ConstArgsJit(fn)
