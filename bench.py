@@ -246,16 +246,13 @@ def bench_warm_start(n, w, log):
     code = f"""
 import json, time, sys
 import numpy as np
+sys.path.insert(0, {repr(__file__.rsplit('/', 1)[0])})
 t_start = time.time()
 import jax
 jax.config.update("jax_enable_x64", True)
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sfft_tpu_jit_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+from sfft_tpu.utils.cache import setup_compile_cache
+setup_compile_cache()
 import jax.numpy as jnp
-sys.path.insert(0, {repr(__file__.rsplit('/', 1)[0])})
 from bench import make_pair, build_step
 from sfft_tpu.config import make_config
 cfg = make_config({n}, {n}, {w}, dtype="float64", greek_chunk=0)
@@ -337,22 +334,70 @@ def bench_bspline(log):
         REGULARIZE_KERNEL=True, XY_REGULARIZE=XY_REG, LAMBDA_REGULARIZE=3e-5)
     args = [jnp.asarray(a) for a in (ref, sci, mref, msci)]
     out = {}
+    results = {}
+    from sfft_tpu.utils.jitconst import jit_const_args
+
     for tag, over in [("contract", {}),
                       ("fast", dict(greek_backend="fft32",
                                     fdiff_backend="fft32", solver="refined"))]:
         cfg = make_bspline_config(N0, N1, 11, **kw, **over)
         step = solve_and_subtract_fn(cfg)
-        f = jax.jit(lambda a, b, c, d: jnp.sqrt(jnp.mean(
-            step(a, b, c, d)[1].astype(jnp.float32) ** 2)))
-        rms = float(np.asarray(f(*args)))
+
+        def full(a, b, c, d, _s=step):
+            sol, diff = _s(a, b, c, d)
+            return jnp.sqrt(jnp.mean(diff.astype(jnp.float32) ** 2)), sol, diff
+
+        f = jit_const_args(full)
+        rms = float(np.asarray(f(*args)[0]))
         ts = []
         for _ in range(3):
             t0 = time.time()
-            rms = float(np.asarray(f(*args)))
+            rms = float(np.asarray(f(*args)[0]))
             ts.append(time.time() - t0)
         log(f"[nircam {tag}] B-spline 900^2 GKerHW=11 ({cfg.NEQ} dof): "
             f"{min(ts)*1000:.1f} ms, diff RMS {rms:.5f} (A100 f64 ~2600 ms)")
         out[f"nircam_{tag}_ms"] = round(min(ts) * 1000, 1)
+        results[tag] = f(*args)
+
+    # parity of the FULL-f64 13k-dof contract solve vs the CPU f64 oracle
+    # (VERDICT r2 #2 'done' metric) — oracle disk-cached like cpu_oracle
+    try:
+        import hashlib
+
+        import jax as _jax
+
+        cfg_cpu = make_bspline_config(
+            N0, N1, 11, **kw, greek_backend="fft", fdiff_backend="fft",
+            solver="exact")
+        key = hashlib.sha256(
+            np.ascontiguousarray(ref).tobytes()
+            + np.ascontiguousarray(sci).tobytes()
+            + repr(cfg_cpu).encode()).hexdigest()[:16]
+        cache = f"/tmp/sfft_bench_nircam_oracle_{key}.npz"
+        try:
+            z = np.load(cache)
+            sol_cpu, diff_cpu = z["sol"], z["diff"]
+            log(f"nircam parity: CPU f64 oracle loaded from cache ({cache})")
+        except Exception:
+            t0 = time.time()
+            with _jax.default_device(_jax.devices("cpu")[0]):
+                step_cpu = _jax.jit(solve_and_subtract_fn(cfg_cpu))
+                sol_cpu, diff_cpu = (np.asarray(x) for x in step_cpu(
+                    jnp.asarray(ref), jnp.asarray(sci),
+                    jnp.asarray(mref), jnp.asarray(msci)))
+            np.savez(cache, sol=sol_cpu, diff=diff_cpu)
+            log(f"nircam parity: CPU f64 oracle took {time.time()-t0:.0f}s")
+        _, sol_t, diff_t = results["contract"]
+        sol_t = np.asarray(sol_t)
+        diff_t = np.asarray(diff_t)
+        sc = float(np.max(np.abs(sol_t - sol_cpu)) / np.max(np.abs(sol_cpu)))
+        rc = float(np.sqrt(np.mean((diff_t - diff_cpu) ** 2)))
+        log(f"[nircam contract] parity vs CPU f64 oracle: solution max rel "
+            f"err {sc:.3e}; diff rms err {rc:.3e}")
+        out["nircam_contract_sol_max_rel_err"] = float(f"{sc:.3e}")
+        out["nircam_contract_diff_rms_err"] = float(f"{rc:.3e}")
+    except Exception as exc:
+        log(f"nircam parity skipped: {exc}")
     return out
 
 
@@ -360,11 +405,9 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/sfft_tpu_jit_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from sfft_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     import jax.numpy as jnp
     from sfft_tpu.config import make_config
 
@@ -386,27 +429,34 @@ def main():
 
     fn_c = build_step(cfg)
     t_contract, comp_c, (compile_s, warm) = time_mode("contract", fn_c, Id, Jd, log)
-    fn_f = build_step(cfg_fast)
-    t_fast, comp_f, _ = time_mode("fast", fn_f, Id, Jd, log)
 
     extra = {
         "contract_s": round(t_contract, 4),
-        "fast_s": round(t_fast, 4),
         "startup_compile_s": round(compile_s, 1),
         "warm_start": warm,
     }
 
+    # everything beyond the headline contract number is best-effort: a
+    # transient axon failure there must not cost the whole bench output
+    comp_f = None
     try:
-        thr, h2d = bench_throughput(comp_f, Id, Jd, log)
-        extra["fast_pairs_per_sec_chip"] = round(thr, 3)
-        extra["h2d_MBps"] = round(h2d, 0)
+        fn_f = build_step(cfg_fast)
+        t_fast, comp_f, _ = time_mode("fast", fn_f, Id, Jd, log)
+        extra["fast_s"] = round(t_fast, 4)
     except Exception as exc:
-        log(f"throughput bench skipped: {exc}")
-    try:
-        thr_e2e = bench_throughput_e2e(cfg_fast, I, J, log)
-        extra["fast_pairs_per_sec_chip_e2e"] = round(thr_e2e, 3)
-    except Exception as exc:
-        log(f"e2e throughput bench skipped: {exc}")
+        log(f"fast mode skipped: {exc}")
+    if comp_f is not None:
+        try:
+            thr, h2d = bench_throughput(comp_f, Id, Jd, log)
+            extra["fast_pairs_per_sec_chip"] = round(thr, 3)
+            extra["h2d_MBps"] = round(h2d, 0)
+        except Exception as exc:
+            log(f"throughput bench skipped: {exc}")
+        try:
+            thr_e2e = bench_throughput_e2e(cfg_fast, I, J, log)
+            extra["fast_pairs_per_sec_chip_e2e"] = round(thr_e2e, 3)
+        except Exception as exc:
+            log(f"e2e throughput bench skipped: {exc}")
 
     if platform != "cpu":
         try:
@@ -420,9 +470,10 @@ def main():
             sc, rc = parity("contract", comp_c, Id, Jd, sol_cpu, diff_cpu, log)
             extra["contract_sol_max_rel_err"] = float(f"{sc:.3e}")
             extra["contract_diff_rms_err"] = float(f"{rc:.3e}")
-            sf, rf = parity("fast", comp_f, Id, Jd, sol_cpu, diff_cpu, log)
-            extra["fast_sol_max_rel_err"] = float(f"{sf:.3e}")
-            extra["fast_diff_rms_err"] = float(f"{rf:.3e}")
+            if comp_f is not None:
+                sf, rf = parity("fast", comp_f, Id, Jd, sol_cpu, diff_cpu, log)
+                extra["fast_sol_max_rel_err"] = float(f"{sf:.3e}")
+                extra["fast_diff_rms_err"] = float(f"{rf:.3e}")
         except Exception as exc:
             log(f"parity bench skipped: {exc}")
         try:
