@@ -75,13 +75,29 @@ class ConstArgsJit:
 
     def _build(self, args) -> _Executable:
         closed = jax.make_jaxpr(self._fn)(*args)
-        consts = _dedupe_device_put(closed.consts)
+        # Complex consts cannot ride as runtime arguments: the axon runtime
+        # rejects any USE of a device-put complex array with UNIMPLEMENTED
+        # (measured 2026-08-17 backend; complex values INSIDE programs are
+        # fine). Ship real/imag planes and recombine with lax.complex.
+        specs = []
+        reals = []
+        for c in closed.consts:
+            a = np.asarray(c)
+            if np.iscomplexobj(a):
+                specs.append((True, len(reals)))
+                reals.append(np.ascontiguousarray(a.real))
+                reals.append(np.ascontiguousarray(a.imag))
+            else:
+                specs.append((False, len(reals)))
+                reals.append(a)
+        consts = _dedupe_device_put(reals)
         jaxpr = closed.jaxpr
         n_out = len(jaxpr.outvars)
-        n_const = len(consts)
 
         def run(consts_, *args_):
-            out = _eval_jaxpr(jaxpr, consts_, *args_)
+            cs = [jax.lax.complex(consts_[i], consts_[i + 1]) if cplx
+                  else consts_[i] for cplx, i in specs]
+            out = _eval_jaxpr(jaxpr, cs, *args_)
             return out[0] if n_out == 1 else tuple(out)
 
         # NOTE: compiling with AUTO input layouts (jax.experimental.layout)
@@ -90,7 +106,6 @@ class ConstArgsJit:
         # the axon runtime executing such a program wedges for tens of
         # minutes (measured). Default layouts + device-derived int8 tables
         # (exact_fft._slice_static_dev) achieve the same effect portably.
-        del n_const
         compiled = jax.jit(run).lower(consts, *args).compile()
         return _Executable(compiled, consts)
 
