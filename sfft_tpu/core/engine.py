@@ -40,7 +40,8 @@ def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray, dtype=None):
     return SI, ST, SSc
 
 
-def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarray:
+def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
+                shared=None) -> jnp.ndarray:
     from sfft_tpu.core.assemble import entangled_tables, GreekTables
     from sfft_tpu.core.regularize import apply_regularization
 
@@ -58,7 +59,7 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
         else:
             from sfft_tpu.core.greek import greek_tables_exact
 
-            out = greek_tables_exact(mI, mJ, cfg)
+            out = greek_tables_exact(mI, mJ, cfg, shared=shared)
         Comg, Cgam, Cthe, Cphi, Cdel = out[:5]
         tables = entangled_tables(
             cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel
@@ -114,12 +115,13 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray) -> jnp.ndarra
 
 
 def _subtract_impl(
-    cfg: SFFTConfig, I: jnp.ndarray, J: jnp.ndarray, solution: jnp.ndarray
+    cfg: SFFTConfig, I: jnp.ndarray, J: jnp.ndarray, solution: jnp.ndarray,
+    shared=None,
 ) -> jnp.ndarray:
     if cfg.fdiff_backend == "exact":
         # pair-arithmetic path builds its own basis-weighted planes (each
         # f64 elementwise plane product costs ~30 ms per 4K^2 on TPU)
-        return fdiff(cfg, solution, None, None, J, None, I=I)
+        return fdiff(cfg, solution, None, None, J, None, I=I, shared=shared)
     # fft32: the difference is computed in f32/c64 anyway — build the basis
     # plane stacks directly in f32 and skip the (expensive on TPU) f64
     # elementwise products.
@@ -155,12 +157,25 @@ def _jitted_subtract(cfg: SFFTConfig):
 
 def solve_and_subtract_fn(cfg: SFFTConfig):
     """One fused, jittable solve+subtract step (solve on the masked pair,
-    apply to the unmasked pair). XLA CSEs the shared basis/spectrum work when
-    masked == unmasked. This is the flagship forward step."""
+    apply to the unmasked pair). For the exact backends the basis-weighted
+    pair planes + forward spectra are computed ONCE and passed to both the
+    table builder and the difference constructor when the masked and unmasked
+    inputs are the same traced arrays (XLA's CSE does not reliably dedupe the
+    two pipelines — measured ~340 ms of duplicated FFT work at 4K).
+    This is the flagship forward step."""
+    both_exact = cfg.greek_backend == "exact" and cfg.fdiff_backend == "exact"
 
     def step(I, J, mI, mJ):
-        sol = _solve_impl(cfg, mI, mJ)
-        diff = _subtract_impl(cfg, I, J, sol)
+        shared = None
+        if both_exact:
+            from sfft_tpu.core.greek import exact_plane_spectra
+
+            dt = jnp.dtype(cfg.dtype)
+            shared = exact_plane_spectra(mI.astype(dt), mJ.astype(dt), cfg)
+        sol = _solve_impl(cfg, mI, mJ, shared=shared)
+        same = (I is mI) and (J is mJ)
+        diff = _subtract_impl(cfg, I, J, sol,
+                              shared=shared if (both_exact and same) else None)
         return sol, diff
 
     return step

@@ -152,6 +152,7 @@ def fdiff_exact(
     solution: jnp.ndarray,
     I: jnp.ndarray,
     J: jnp.ndarray,
+    shared=None,
 ) -> jnp.ndarray:
     """Exact-grade (double-float) difference construction on TPU.
 
@@ -168,14 +169,16 @@ def fdiff_exact(
       * the background term exactly in image space (separable U B V^T);
       * inverse transform of the Hermitian half with weight-2 fold, again
         through the exact pair DFT (zero-extended k1 axis).
+
+    shared: optional precomputed exact_plane_spectra(I, J, cfg) output; the
+    engine passes the solve's spectra through when the masked and unmasked
+    pairs coincide (one pair-FFT instead of two — XLA's CSE does NOT dedupe
+    the two pipelines reliably; measured ~340 ms of re-run FFT at 4K).
     """
-    from sfft_tpu.core.basis import basis_1d_tables
     from sfft_tpu.core.exact_fft import (CPair, _cmatmul_sliced,
                                          _pair_hadamard_conj, _two_sum,
-                                         exact_dft_axis, exact_fft2_pair,
-                                         pair_from_f64, pair_sep_mul,
-                                         pair_stack)
-    from sfft_tpu.core.indices import ref_basis_exponents
+                                         exact_dft_axis, pair_from_f64)
+    from sfft_tpu.core.greek import exact_plane_spectra
 
     N0, N1 = cfg.N0, cfg.N1
     N1h = N1 // 2 + 1
@@ -183,22 +186,10 @@ def fdiff_exact(
     a_ijab, b_pq = split_solution(cfg, solution)
     W0, W1 = _phase_matrices(cfg, half=True)   # (N0, L0), (L1, N1h) c128
 
-    # pair-weighted planes (no f64 elementwise); identical expressions to
-    # greek_tables_exact so XLA CSEs the forward spectra in the fused
-    # solve+subtract step when the masked and unmasked inputs coincide
-    Ip = pair_from_f64(I.astype(jnp.float64))
-    Jp = pair_from_f64(J.astype(jnp.float64))
-    Uk, Vk = basis_1d_tables(cfg.kernel_basis, N0, N1)
-    exps_k = ref_basis_exponents(cfg.kernel_basis)
-    planes = [Jp] + [pair_sep_mul(Ip, Uk[:, i], Vk[:, j])
-                     for (i, j) in exps_k]
-    nss = 0
-    if separate_varying:
-        Us, Vs = basis_1d_tables(cfg.scaling_basis, N0, N1)
-        exps_s = ref_basis_exponents(cfg.scaling_basis)
-        planes += [pair_sep_mul(Ip, Us[:, i], Vs[:, j]) for (i, j) in exps_s]
-        nss = len(exps_s)
-    sp = exact_fft2_pair(pair_stack(planes), half=True)
+    if shared is None:
+        shared = exact_plane_spectra(I, J, cfg)
+    _Jp, _SIp, _SScp, sp = shared
+    nss = len(_SScp) if _SScp is not None else 0
 
     def sl(a, b):
         return CPair(sp.rh[a:b], sp.rl[a:b], sp.ih[a:b], sp.il[a:b])
@@ -309,10 +300,11 @@ def fdiff_exact(
     return (D - bgplane).astype(J.dtype)
 
 
-def fdiff(cfg: SFFTConfig, solution, SI, ST, J, SSc=None, I=None) -> jnp.ndarray:
+def fdiff(cfg: SFFTConfig, solution, SI, ST, J, SSc=None, I=None,
+          shared=None) -> jnp.ndarray:
     if cfg.fdiff_backend == "exact":
         assert I is not None, "fdiff_exact needs the unmasked image I"
-        return fdiff_exact(cfg, solution, I, J)
+        return fdiff_exact(cfg, solution, I, J, shared=shared)
     if cfg.fdiff_backend == "fft":
         return fdiff_fft(cfg, solution, SI, ST, J, SSc)
     if cfg.fdiff_backend == "conv":

@@ -258,38 +258,62 @@ def exact_bg_corr_pair(Ap, bg_spec, N0: int, N1: int,
     return jnp.transpose(out, (0, 1, 3, 2))          # (F, Fpq, R0, R1)
 
 
-def greek_tables_exact(I: jnp.ndarray, J: jnp.ndarray, cfg):
+def exact_plane_spectra(I: jnp.ndarray, J: jnp.ndarray, cfg):
+    """Shared exact-engine front end: pair-split the images, build the
+    basis-weighted pair planes [J, I*beta_ij (, I*sigma_ij)] in fused-f32 pair
+    arithmetic, and take ONE half-spectrum pair-FFT of the whole stack.
+
+    Both the Greek tables (greek_tables_exact) and the exact difference
+    (fdiff_exact) consume this. The fused solve+subtract step computes it
+    once per distinct (I, J) pair: relying on XLA CSE to dedupe the two
+    textually-identical pipelines costs ~340 ms of re-run FFT work at 4K
+    (measured, tools/diag_stages.py).
+
+    Returns (Jp, SIp, SScp, sp): image-domain pairs (Jp one plane, SIp list
+    of Fij, SScp list or None) and the stacked half spectra CPair in plane
+    order [J] + SI (+ SSc)."""
+    from sfft_tpu.core.basis import basis_1d_tables
+    from sfft_tpu.core.exact_fft import (exact_fft2_pair, pair_from_f64,
+                                         pair_sep_mul, pair_stack)
+    from sfft_tpu.core.indices import ref_basis_exponents
+
+    N0, N1 = cfg.N0, cfg.N1
+    Ip = pair_from_f64(I.astype(jnp.float64))
+    Jp = pair_from_f64(J.astype(jnp.float64))
+    Uk, Vk = basis_1d_tables(cfg.kernel_basis, N0, N1)
+    exps_k = ref_basis_exponents(cfg.kernel_basis)
+    SIp = [pair_sep_mul(Ip, Uk[:, i], Vk[:, j]) for (i, j) in exps_k]
+    planes = [Jp] + SIp
+    SScp = None
+    if cfg.scaling_mode == "SEPARATE-VARYING":
+        Us, Vs = basis_1d_tables(cfg.scaling_basis, N0, N1)
+        exps_s = ref_basis_exponents(cfg.scaling_basis)
+        SScp = [pair_sep_mul(Ip, Us[:, i], Vs[:, j]) for (i, j) in exps_s]
+        planes = planes + SScp
+    sp = exact_fft2_pair(pair_stack(planes), half=True)
+    return Jp, SIp, SScp, sp
+
+
+def greek_tables_exact(I: jnp.ndarray, J: jnp.ndarray, cfg, shared=None):
     """All exact-grade tables for one config, built WITHOUT f64 elementwise
     plane products: images are pair-split once, basis weightings run in
     fused-f32 pair arithmetic (pair_sep_mul), one pair-FFT covers every
     data plane (incl. SEPARATE-VARYING scaling planes), and background
     blocks use rolled-basis sliced moments.
 
+    shared: optional precomputed exact_plane_spectra(I, J, cfg) output.
+
     Returns (Comg, Cgam, Cthe, Cphi, Cdel[, (Pbs, Pss, Pgs, Pts)])."""
-    from sfft_tpu.core.basis import basis_1d_tables
-    from sfft_tpu.core.exact_fft import (CPair, exact_corr_window,
-                                         exact_fft2_pair, pair_from_f64,
-                                         pair_sep_mul, pair_stack)
-    from sfft_tpu.core.indices import ref_basis_exponents
+    from sfft_tpu.core.exact_fft import CPair, exact_corr_window, pair_stack
 
     N0, N1 = cfg.N0, cfg.N1
     w0, w1 = cfg.w0, cfg.w1
     separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
-    Ip = pair_from_f64(I.astype(jnp.float64))
-    Jp = pair_from_f64(J.astype(jnp.float64))
-    Uk, Vk = basis_1d_tables(cfg.kernel_basis, N0, N1)
-    exps_k = ref_basis_exponents(cfg.kernel_basis)
-    SIp = [pair_sep_mul(Ip, Uk[:, i], Vk[:, j]) for (i, j) in exps_k]
+    if shared is None:
+        shared = exact_plane_spectra(I, J, cfg)
+    Jp, SIp, SScp, sp = shared
     Fij = len(SIp)
-    planes = [Jp] + SIp
-    Fs = 0
-    if separate_varying:
-        Us, Vs = basis_1d_tables(cfg.scaling_basis, N0, N1)
-        exps_s = ref_basis_exponents(cfg.scaling_basis)
-        SScp = [pair_sep_mul(Ip, Us[:, i], Vs[:, j]) for (i, j) in exps_s]
-        Fs = len(SScp)
-        planes = planes + SScp
-    sp = exact_fft2_pair(pair_stack(planes), half=True)
+    Fs = len(SScp) if SScp is not None else 0
 
     def sl(a, b):
         return CPair(sp.rh[a:b], sp.rl[a:b], sp.ih[a:b], sp.il[a:b])
