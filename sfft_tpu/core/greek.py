@@ -320,9 +320,21 @@ def greek_tables_exact(I: jnp.ndarray, J: jnp.ndarray, cfg, shared=None):
 
     specJ = sl(0, 1)
     specI = sl(1, 1 + Fij)
-    Comg = exact_corr_window(specI, specI, N0, N1, 2 * w0, 2 * w1,
-                             symmetric=True)
-    Cthe = exact_corr_window(specI, specJ, N0, N1, w0, w1)[:, 0]
+    # OMG (SI x SI, +-2w) and THE (SI x J, +-w) share one windowed-corr pass:
+    # the partial-iDFT lag grids pad to the same lane width (33 and 17 both
+    # pad to 64 columns), so a THE pair costs the same at either window —
+    # riding the OMG call saves its per-chunk dispatch (~25 ms at 4K) and one
+    # compiled program.
+    iu, ju = np.triu_indices(Fij)
+    ia = np.concatenate([iu + 1, np.arange(Fij) + 1])
+    jb = np.concatenate([ju + 1, np.zeros(Fij, np.int64)])
+    cc = exact_corr_window(sl(0, 1 + Fij), sl(0, 1 + Fij), N0, N1,
+                           2 * w0, 2 * w1, pairs=(ia, jb))
+    n_omg = len(iu)
+    Comg = jnp.zeros((Fij, Fij, 4 * w0 + 1, 4 * w1 + 1), cc.dtype)
+    Comg = Comg.at[iu, ju].set(cc[:n_omg])
+    Comg = Comg.at[ju, iu].set(cc[:n_omg, ::-1, ::-1])
+    Cthe = cc[n_omg:, w0 : 3 * w0 + 1, w1 : 3 * w1 + 1]
     SIstack = pair_stack(SIp)
     Cgam = exact_bg_corr_pair(SIstack, cfg.bg_basis, N0, N1, w0, w1)
     Cphi = jnp.asarray(bg_static_gram(cfg.bg_basis, N0, N1))

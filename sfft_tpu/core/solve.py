@@ -127,22 +127,78 @@ def _blocked_trisolve(L: jnp.ndarray, b: jnp.ndarray, lower: bool,
     return x
 
 
-def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 4) -> jnp.ndarray:
+def _diag_block_inverses(L: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
+    """Explicit inverses of the nb x nb diagonal blocks of lower-triangular L
+    via ONE batched triangular solve against I (shape (nblk, nb, nb)).
+
+    Why: each library `solve_triangular` dispatch costs ~4-12 ms on this TPU
+    regardless of size, and a blocked trisolve chains 2*nblk of them — the
+    three substitution passes of _exact_solve (initial + 2 refinements) spent
+    ~150 ms in panel-solve latency at NEQ=1740. With the inverses
+    precomputed once, every panel solve becomes a matvec. Accuracy is the
+    same panel-grade as the library solve it replaces (locally
+    well-conditioned equilibrated blocks; refinement absorbs it — see
+    _blocked_cholesky). Padding blocks carry an identity diagonal, so the
+    padded inverse's top-left corner is the true block inverse."""
+    n = L.shape[0]
+    nblk = -(-n // nb)
+    npad = nblk * nb
+    Lp = jnp.zeros((npad, npad), L.dtype).at[:n, :n].set(L)
+    Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    blocks = jnp.stack([Lp[k * nb : (k + 1) * nb, k * nb : (k + 1) * nb]
+                        for k in range(nblk)])
+    eye = jnp.eye(nb, dtype=L.dtype)
+    return jax.vmap(
+        lambda M: jax.scipy.linalg.solve_triangular(M, eye, lower=True)
+    )(blocks)
+
+
+def _blocked_trisolve_inv(L: jnp.ndarray, Linv: jnp.ndarray, b: jnp.ndarray,
+                          lower: bool, nb: int = 256) -> jnp.ndarray:
+    """Blocked triangular substitution using precomputed diagonal-block
+    inverses (_diag_block_inverses): HIGHEST-precision off-diagonal updates
+    (the accuracy-critical part, same as _blocked_trisolve) + matvec panel
+    application. lower=False solves L.T x = b with the SAME L/Linv."""
+    n = L.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    nblk = -(-n // nb)
+    x = jnp.zeros_like(b)
+    order = range(nblk) if lower else range(nblk - 1, -1, -1)
+    for k in order:
+        s, e = k * nb, min((k + 1) * nb, n)
+        rhs = b[s:e]
+        if lower and s > 0:
+            rhs = rhs - jnp.dot(L[s:e, :s], x[:s], precision=hp)
+        if not lower and e < n:
+            # (L.T)[s:e, e:] = L[e:, s:e].T
+            rhs = rhs - jnp.dot(x[e:], L[e:, s:e], precision=hp)
+        inv = Linv[k][: e - s, : e - s]
+        xk = jnp.dot(inv if lower else inv.T, rhs, precision=hp)
+        x = x.at[s:e].set(xk)
+    return x
+
+
+def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     """f64-contract solve on TPU: Jacobi equilibration + blocked Cholesky with
     HIGHEST-precision (exact, slow-route) f64 contractions + exact-residual
     refinement. Unlike the f32-LU refinement, the iteration matrix here has
     spectral radius cond * eps64 (~1e-7 even at cond 3e8), so two refinement
-    steps reach the f64 floor. Cost at NEQ=1740 is dominated by the ~n^3/3
-    exact-f64 trailing updates (~100 ms on v5e)."""
+    steps reach the f64 floor: err after the direct solve ~cond*eps64 ~ 7e-8,
+    one refinement squares it to ~5e-15, the second lands on the floor
+    (measured: bench parity identical at iters=2 vs 4, 88 ms cheaper — each
+    refinement pass costs ~44 ms of sequential blocked-trisolve panels).
+    Cost at NEQ=1740 is otherwise dominated by the ~n^3/3 exact-f64 trailing
+    updates (~150 ms on v5e)."""
     d = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)) + jnp.finfo(A.dtype).tiny)
     As = A * d[:, None] * d[None, :]
     bs = b * d
     hp = jax.lax.Precision.HIGHEST
     L = _blocked_cholesky(As, precision=hp)
+    Linv = _diag_block_inverses(L)
 
     def solve_tri(r):
-        y = _blocked_trisolve(L, r, lower=True)
-        return _blocked_trisolve(L.T, y, lower=False)
+        y = _blocked_trisolve_inv(L, Linv, r, lower=True)
+        return _blocked_trisolve_inv(L, Linv, y, lower=False)
 
     x = solve_tri(bs)
     bnorm = jnp.linalg.norm(bs)
