@@ -318,23 +318,32 @@ def greek_tables_exact(I: jnp.ndarray, J: jnp.ndarray, cfg, shared=None):
     def sl(a, b):
         return CPair(sp.rh[a:b], sp.rl[a:b], sp.ih[a:b], sp.il[a:b])
 
-    specJ = sl(0, 1)
-    specI = sl(1, 1 + Fij)
-    # OMG (SI x SI, +-2w) and THE (SI x J, +-w) share one windowed-corr pass:
-    # the partial-iDFT lag grids pad to the same lane width (33 and 17 both
-    # pad to 64 columns), so a THE pair costs the same at either window —
-    # riding the OMG call saves its per-chunk dispatch (~25 ms at 4K) and one
-    # compiled program.
+    # ALL spectrum-pair windowed correlations share ONE pass: the
+    # partial-iDFT lag grids pad to the same lane width (a 33-, 17- or
+    # 1-lag output all pad to 64 dot columns), so every pair costs the same
+    # at the widest (+-2w) window — OMG (SI x SI, +-2w), THE (SI x J, +-w)
+    # and for SEPARATE-VARYING also PBS/PSS/PTS ride one call, saving the
+    # per-call chunk-dispatch and 4 compiled programs (~25 ms at 4K
+    # entangled; 5 calls -> 1 on the NIRCam B-spline config).
     iu, ju = np.triu_indices(Fij)
-    ia = np.concatenate([iu + 1, np.arange(Fij) + 1])
-    jb = np.concatenate([ju + 1, np.zeros(Fij, np.int64)])
-    cc = exact_corr_window(sl(0, 1 + Fij), sl(0, 1 + Fij), N0, N1,
+    ia_l = [iu + 1, np.arange(Fij) + 1]
+    jb_l = [ju + 1, np.zeros(Fij, np.int64)]
+    if separate_varying:
+        gI, gS = np.meshgrid(np.arange(Fij) + 1,
+                             np.arange(Fs) + 1 + Fij, indexing="ij")
+        su, sv = np.triu_indices(Fs)
+        ia_l += [gI.ravel(), su + 1 + Fij, np.arange(Fs) + 1 + Fij]
+        jb_l += [gS.ravel(), sv + 1 + Fij, np.zeros(Fs, np.int64)]
+    ia = np.concatenate(ia_l)
+    jb = np.concatenate(jb_l)
+    spec_all = sl(0, 1 + Fij + Fs)
+    cc = exact_corr_window(spec_all, spec_all, N0, N1,
                            2 * w0, 2 * w1, pairs=(ia, jb))
     n_omg = len(iu)
     Comg = jnp.zeros((Fij, Fij, 4 * w0 + 1, 4 * w1 + 1), cc.dtype)
     Comg = Comg.at[iu, ju].set(cc[:n_omg])
     Comg = Comg.at[ju, iu].set(cc[:n_omg, ::-1, ::-1])
-    Cthe = cc[n_omg:, w0 : 3 * w0 + 1, w1 : 3 * w1 + 1]
+    Cthe = cc[n_omg : n_omg + Fij, w0 : 3 * w0 + 1, w1 : 3 * w1 + 1]
     SIstack = pair_stack(SIp)
     Cgam = exact_bg_corr_pair(SIstack, cfg.bg_basis, N0, N1, w0, w1)
     Cphi = jnp.asarray(bg_static_gram(cfg.bg_basis, N0, N1))
@@ -344,11 +353,15 @@ def greek_tables_exact(I: jnp.ndarray, J: jnp.ndarray, cfg, shared=None):
     if not separate_varying:
         return Comg, Cgam, Cthe, Cphi, Cdel
 
-    specS = sl(1 + Fij, 1 + Fij + Fs)
-    Pbs = exact_corr_window(specI, specS, N0, N1, w0, w1)
-    Pss = exact_corr_window(specS, specS, N0, N1, 0, 0,
-                            symmetric=True)[:, :, 0, 0]
-    Pts = exact_corr_window(specS, specJ, N0, N1, 0, 0)[:, 0, 0, 0]
+    o = n_omg + Fij
+    Pbs = cc[o : o + Fij * Fs, w0 : 3 * w0 + 1, w1 : 3 * w1 + 1]
+    Pbs = Pbs.reshape(Fij, Fs, 2 * w0 + 1, 2 * w1 + 1)
+    o += Fij * Fs
+    pss_u = cc[o : o + len(su), 2 * w0, 2 * w1]
+    Pss = jnp.zeros((Fs, Fs), cc.dtype)
+    Pss = Pss.at[su, sv].set(pss_u).at[sv, su].set(pss_u)
+    o += len(su)
+    Pts = cc[o : o + Fs, 2 * w0, 2 * w1]
     SScstack = pair_stack(SScp)
     Pgs = exact_bg_corr_pair(SScstack, cfg.bg_basis, N0, N1, 0, 0)[:, :, 0, 0]
     npad = cfg.Fij - Fs
