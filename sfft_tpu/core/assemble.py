@@ -101,7 +101,8 @@ def _omg_chunk(Fab: int) -> int:
 
 
 def assemble_system(cfg: SFFTConfig, t: GreekTables,
-                    out_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    out_dtype=None,
+                    reg_terms=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build (LHMAT, RHb) of the NEQ x NEQ system, identical in value to the
     reference's FillLS output for the active scaling mode.
 
@@ -111,7 +112,14 @@ def assemble_system(cfg: SFFTConfig, t: GreekTables,
     only the already-cancelled small entries are rounded — and the OMG block
     is built in row-offset chunks via lax.map so no full-precision NEQ^2
     intermediate ever exists (13k-dof B-spline configs would otherwise exceed
-    HBM)."""
+    HBM).
+
+    reg_terms: optional Kronecker factors [(M (Fij,Fij), R (Fab,Fab))] of
+    lambda*REGMAT (regularize.regularization_terms): the Tikhonov kernel
+    regularizer is added INSIDE the OMG row construction, where the
+    (Fij,Fij,1,1)x(1,1,CH,Fab) broadcasts fuse with the gather arithmetic —
+    a standalone dense REGMAT add needs (Fijab,Fijab)-scale HLO temps that
+    OOM the chip at 13k dof."""
     import jax
 
     p = _gather_plan(cfg)
@@ -145,6 +153,11 @@ def assemble_system(cfg: SFFTConfig, t: GreekTables,
     # several x 1.4 GB each — chunking caps them regardless of output dtype
     CH = _omg_chunk(Fab) if (odt != dt or Fij * Fab >= 8192) else Fab
 
+    reg_jnp = None
+    if reg_terms is not None:
+        reg_jnp = [(jnp.asarray(M, dt), jnp.asarray(R, dt))
+                   for M, R in reg_terms]
+
     def rows_for(idx):
         """OMG rows for a row-offset subset idx (CH,): (Fij, CH, Fij*Fab)."""
         bb_cross = Pbbf[:, :, oc[idx]]                           # (F,F,CH,Fab)
@@ -155,6 +168,9 @@ def assemble_system(cfg: SFFTConfig, t: GreekTables,
         rs = cs[idx][:, None]
         blk = (r1 * (k1 * bb_cross + k0 * bb_row + ks * bs_row)
                + r0 * col_part + rs * scl_part)
+        if reg_jnp is not None:
+            for M, R in reg_jnp:
+                blk = blk + M[:, :, None, None] * R[idx][None, None, :, :]
         return jnp.transpose(blk, (0, 2, 1, 3)).reshape(
             Fij, CH, Fij * Fab).astype(odt)
 

@@ -43,7 +43,6 @@ def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray, dtype=None):
 def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
                 shared=None) -> jnp.ndarray:
     from sfft_tpu.core.assemble import entangled_tables, GreekTables
-    from sfft_tpu.core.regularize import apply_regularization
 
     dt = jnp.dtype(cfg.dtype)
     mI = mI.astype(dt)
@@ -109,8 +108,14 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
             and jax.default_backend() not in ("cpu", "gpu") \
             and cfg.solver != "exact":
         out_dtype = jnp.float32
-    lhs, rhs = assemble_system(cfg, tables, out_dtype=out_dtype)
-    lhs = apply_regularization(cfg, lhs)
+    from sfft_tpu.core.regularize import regularization_terms
+
+    # Tikhonov reg rides the streamed OMG chunks (fused broadcasts); the
+    # standalone dense apply needed (Fijab, Fijab)-scale HLO temps and OOMed
+    # the chip at 13k dof
+    reg = regularization_terms(cfg)
+    lhs, rhs = assemble_system(cfg, tables, out_dtype=out_dtype,
+                               reg_terms=reg)
     return solve_system(cfg, lhs, rhs).astype(dt)
 
 

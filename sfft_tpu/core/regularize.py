@@ -107,32 +107,45 @@ def _gram_mats(cfg: SFFTConfig):
     return SST, CSST, DSST
 
 
-def apply_regularization(cfg: SFFTConfig, lhs: jnp.ndarray) -> jnp.ndarray:
-    """LHMAT += lambda * REGMAT (kernel block only)."""
+def regularization_terms(cfg: SFFTConfig):
+    """lambda * REGMAT as a list of static Kronecker factors [(M, R)] with
+    REGMAT[k*Fab+c, K*Fab+C] = sum_terms M[k, K] * R[c, C] — one term for
+    ENTANGLED/SEPARATE-CONSTANT, four (the center-offset case split) for
+    SEPARATE-VARYING. Never materializes the (Fijab, Fijab) block: the
+    assembly streams it into the OMG row chunks (assemble_system reg_terms),
+    where the broadcast fuses with the gather arithmetic — the dense einsum
+    this replaces compiled to ~6 GB HLO temps at 13k dof and OOMed the 16 GB
+    chip. Returns None when regularization is off."""
     if cfg.regularize_lambda == 0.0 or not cfg.reg_xy:
-        return lhs
+        return None
     ireg = _iregmat(cfg)
     SST, CSST, DSST = _gram_mats(cfg)
+    lam = cfg.regularize_lambda * cfg.SCALE**2
+    if cfg.scaling_mode != "SEPARATE-VARYING":
+        return [(lam * SST, ireg)]
+    nc = np.ones(cfg.Fab)
+    nc[cfg.center_ab] = 0.0
+    return [
+        (lam * SST, ireg * np.outer(nc, nc)),
+        (lam * CSST, ireg * np.outer(nc, 1 - nc)),
+        (lam * CSST.T, ireg * np.outer(1 - nc, nc)),
+        (lam * DSST, ireg * np.outer(1 - nc, 1 - nc)),
+    ]
+
+
+def apply_regularization(cfg: SFFTConfig, lhs: jnp.ndarray) -> jnp.ndarray:
+    """LHMAT += lambda * REGMAT (kernel block only) — standalone form for
+    callers that assembled without reg_terms. Broadcast products (not
+    einsum/dot_general) so XLA fuses the Kronecker expansion into the
+    scatter-add instead of materializing staged HLO temps."""
+    terms = regularization_terms(cfg)
+    if terms is None:
+        return lhs
     dt = lhs.dtype
     Fab, Fij, Fijab = cfg.Fab, cfg.Fij, cfg.Fijab
-    c0 = cfg.center_ab
-    nc = np.ones(Fab)
-    nc[c0] = 0.0
-
-    ireg_j = jnp.asarray(ireg, dt)
-    if cfg.scaling_mode != "SEPARATE-VARYING":
-        block = jnp.einsum("kK,cC->kcKC", jnp.asarray(SST, dt), ireg_j)
-    else:
-        m_nn = jnp.asarray(np.outer(nc, nc), dt)
-        m_n0 = jnp.asarray(np.outer(nc, 1 - nc), dt)
-        m_0n = jnp.asarray(np.outer(1 - nc, nc), dt)
-        m_00 = jnp.asarray(np.outer(1 - nc, 1 - nc), dt)
-        block = (
-            jnp.einsum("kK,cC->kcKC", jnp.asarray(SST, dt), ireg_j * m_nn)
-            + jnp.einsum("kK,cC->kcKC", jnp.asarray(CSST, dt), ireg_j * m_n0)
-            + jnp.einsum("kK,cC->kcKC", jnp.asarray(CSST.T, dt), ireg_j * m_0n)
-            + jnp.einsum("kK,cC->kcKC", jnp.asarray(DSST, dt), ireg_j * m_00)
-        )
-    block = block.reshape(Fijab, Fijab)
-    lam = cfg.regularize_lambda * cfg.SCALE**2
-    return lhs.at[:Fijab, :Fijab].add(lam * block)
+    add = None
+    for M, R in terms:
+        t = (jnp.asarray(M, dt)[:, None, :, None]
+             * jnp.asarray(R, dt)[None, :, None, :])
+        add = t if add is None else add + t
+    return lhs.at[:Fijab, :Fijab].add(add.reshape(Fijab, Fijab))
