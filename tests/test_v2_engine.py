@@ -238,3 +238,51 @@ def test_regularization_smooths_kernel(rng):
     assert e1 <= e0 * (1 + 1e-9)
     assert e2 < e1
     assert e2 < 1e-3 * max(e0, 1e-30)
+
+
+def test_regularization_streamed_equals_dense(rng):
+    """assemble_system(reg_terms=...) must equal the standalone dense
+    apply_regularization on the assembled system — incl. SEPARATE-VARYING's
+    four-way center-offset case split. (The streamed form exists because the
+    dense REGMAT add OOMs the chip at 13k dof.)"""
+    from sfft_tpu.core.assemble import assemble_system, entangled_tables, GreekTables
+    from sfft_tpu.core.engine import _solve_impl  # noqa: F401 (import parity)
+    from sfft_tpu.core.greek import greek_tables, greek_tables_separate
+    from sfft_tpu.core.regularize import apply_regularization, regularization_terms
+    from sfft_tpu.core.engine import _plane_stacks
+
+    I, J = make_pair(rng)
+    xy = tuple((float(x), float(y)) for x, y in rng.uniform(3, 30, size=(12, 2)))
+    for mode_kw in (
+        dict(),  # ENTANGLED
+        dict(scaling_basis=BasisSpec("polynomial", 1)),
+    ):
+        cfg = SFFTConfig(
+            N0=40, N1=36, w0=2, w1=2,
+            kernel_basis=BasisSpec("polynomial", 1),
+            bg_basis=BasisSpec("polynomial", 1),
+            regularize_lambda=7.5, reg_xy=xy, **mode_kw)
+        s = cfg.SCALE
+        SI, ST, SSc = _plane_stacks(cfg, jnp.asarray(I))
+        Comg, Cgam, Cthe, Cphi, Cdel = greek_tables(
+            SI, ST, jnp.asarray(J), cfg.w0, cfg.w1, backend="fft",
+            bg_spec=cfg.bg_basis)
+        tables = entangled_tables(
+            cfg, (s**3) * Comg, (s**2) * Cgam, (s**2) * Cthe, s * Cphi, s * Cdel)
+        if cfg.scaling_mode == "SEPARATE-VARYING":
+            Pbs, Pss, Pgs, Pts = greek_tables_separate(
+                SI, SSc, ST, jnp.asarray(J), cfg.w0, cfg.w1, backend="fft",
+                bg_spec=cfg.bg_basis, n_active=cfg.scaling_basis.num_funcs())
+            tables = GreekTables(
+                Pbb=tables.Pbb, Pbs=(s**3) * Pbs, Pss=(s**3) * Pss,
+                Pgb=tables.Pgb, Pgs=(s**2) * Pgs,
+                Ptb=tables.Ptb, Pts=(s**2) * Pts,
+                Pphi=tables.Pphi, Pdel=tables.Pdel)
+        lhs_dense, rhs_dense = assemble_system(cfg, tables)
+        lhs_dense = np.asarray(apply_regularization(cfg, lhs_dense))
+        lhs_str, rhs_str = assemble_system(
+            cfg, tables, reg_terms=regularization_terms(cfg))
+        scale = np.max(np.abs(lhs_dense))
+        np.testing.assert_allclose(np.asarray(lhs_str), lhs_dense,
+                                   atol=1e-12 * scale)
+        np.testing.assert_allclose(np.asarray(rhs_str), np.asarray(rhs_dense))
