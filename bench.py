@@ -234,11 +234,15 @@ def bench_throughput_e2e(cfg_fast, I, J, log, nrep=4):
     return thr
 
 
-def bench_warm_start(n, w, log):
-    """TWO-PROCESS warm start for the CONTRACT path: a fresh Python process
-    (persistent compile cache warm, device tables re-uploaded) builds the 4K
-    contract step and reports time-to-first-difference. This is the cost a
-    new survey job pays on a warm machine (VERDICT r2 #1 'done' metric)."""
+def bench_warm_start(n, w, log, tag="contract"):
+    """Fresh-process start for the CONTRACT path: a new Python process
+    (persistent compile cache in whatever state the machine is in) builds the
+    4K contract step and reports time-to-first-difference. This is the cost a
+    new survey job pays (VERDICT r2 #1 'done' metric). Called twice
+    back-to-back by main() BEFORE the parent touches the TPU: the second call
+    is the honest warm number — measured: a second jax client dispatching
+    while the parent holds a loaded-program client can pay a ~0.2 MB/s
+    executable upload (745 s observed) instead of the ~30 s warm load."""
     import json as _json
     import subprocess
     import sys as _sys
@@ -274,7 +278,7 @@ print(json.dumps(dict(import_s=round(t0 - t_start, 1),
                          capture_output=True, text=True, timeout=1800)
     line = out.stdout.strip().splitlines()[-1]
     d = _json.loads(line)
-    log(f"[contract] two-process WARM start: import {d['import_s']}s + "
+    log(f"[{tag}] fresh-process start: import {d['import_s']}s + "
         f"trace/compile {d['compile_s']}s + first exec {d['first_exec_s']}s "
         f"= {d['total_s']}s to first difference")
     return d
@@ -416,6 +420,22 @@ def main():
 
     n = 4096 if platform != "cpu" else 1024
     w = 8
+
+    # fresh-process start timings FIRST, before this process loads any
+    # program on the chip (see bench_warm_start docstring): first run settles
+    # whatever cache state the machine is in, second is the warm number
+    extra_ws = {}
+    if platform != "cpu":
+        try:
+            d1 = bench_warm_start(n, w, log, tag="contract start 1")
+            d2 = bench_warm_start(n, w, log, tag="contract warm")
+            extra_ws = {
+                "contract_start1_total_s": d1["total_s"],
+                "contract_warm_total_s": d2["total_s"],
+                "contract_warm_first_exec_s": d2["first_exec_s"],
+            }
+        except Exception as exc:
+            log(f"warm-start bench skipped: {exc}")
     cfg = make_config(n, n, w, dtype="float64", greek_chunk=0)
     log(f"contract config: greek={cfg.greek_backend} fdiff={cfg.fdiff_backend} "
         f"solver={cfg.solver} NEQ={cfg.NEQ}")
@@ -434,6 +454,7 @@ def main():
         "contract_s": round(t_contract, 4),
         "startup_compile_s": round(compile_s, 1),
         "warm_start": warm,
+        **extra_ws,
     }
 
     # everything beyond the headline contract number is best-effort: a
@@ -459,12 +480,6 @@ def main():
             log(f"e2e throughput bench skipped: {exc}")
 
     if platform != "cpu":
-        try:
-            dws = bench_warm_start(n, w, log)
-            extra["contract_warm_total_s"] = dws["total_s"]
-            extra["contract_warm_first_exec_s"] = dws["first_exec_s"]
-        except Exception as exc:
-            log(f"warm-start bench skipped: {exc}")
         try:
             sol_cpu, diff_cpu = cpu_oracle(w, n, I, J, log)
             sc, rc = parity("contract", comp_c, Id, Jd, sol_cpu, diff_cpu, log)
