@@ -242,7 +242,15 @@ def bench_warm_start(n, w, log, tag="contract"):
     back-to-back by main() BEFORE the parent touches the TPU: the second call
     is the honest warm number — measured: a second jax client dispatching
     while the parent holds a loaded-program client can pay a ~0.2 MB/s
-    executable upload (745 s observed) instead of the ~30 s warm load."""
+    executable upload (745 s observed) instead of the ~30 s warm load.
+
+    Decomposition (tools/diag_firsttouch.py, measured 2026-08-17): the first
+    blocking dispatch of ANY fresh axon process pays an 80-350 s (worst
+    1388 s) session-attach cost independent of payload — a 4-byte program
+    pays it too. The framework's own cold start is compile + first dispatch
+    (~13 s warm-cache + ~1-4 s). start_device_warmup() fires the attach from
+    a daemon thread at process start so it overlaps prep and compile; the
+    residual wait after compile is what the attach actually adds."""
     import json as _json
     import subprocess
     import sys as _sys
@@ -256,6 +264,8 @@ import jax
 jax.config.update("jax_enable_x64", True)
 from sfft_tpu.utils.cache import setup_compile_cache
 setup_compile_cache()
+from sfft_tpu.utils.warmup import start_device_warmup
+wu = start_device_warmup()
 import jax.numpy as jnp
 from bench import make_pair, build_step
 from sfft_tpu.config import make_config
@@ -267,20 +277,27 @@ t0 = time.time()
 fn = build_step(cfg)
 compiled = fn.lower(Id, Jd).compile()
 t1 = time.time()
-out = np.asarray(compiled(Id, Jd)[0])
+attach_s = wu.wait()
 t2 = time.time()
+out = np.asarray(compiled(Id, Jd)[0])
+t3 = time.time()
 print(json.dumps(dict(import_s=round(t0 - t_start, 1),
                       compile_s=round(t1 - t0, 1),
-                      first_exec_s=round(t2 - t1, 1),
-                      total_s=round(t2 - t_start, 1))))
+                      attach_s=round(attach_s, 1),
+                      attach_residual_s=round(t2 - t1, 1),
+                      first_exec_s=round(t3 - t2, 1),
+                      framework_s=round((t1 - t0) + (t3 - t2), 1),
+                      total_s=round(t3 - t_start, 1))))
 """
     out = subprocess.run([_sys.executable, "-u", "-c", code],
-                         capture_output=True, text=True, timeout=1800)
+                         capture_output=True, text=True, timeout=2400)
     line = out.stdout.strip().splitlines()[-1]
     d = _json.loads(line)
-    log(f"[{tag}] fresh-process start: import {d['import_s']}s + "
-        f"trace/compile {d['compile_s']}s + first exec {d['first_exec_s']}s "
-        f"= {d['total_s']}s to first difference")
+    log(f"[{tag}] fresh-process start: prep+compile {d['compile_s']}s | "
+        f"session attach {d['attach_s']}s (residual after compile "
+        f"{d['attach_residual_s']}s) | first exec {d['first_exec_s']}s = "
+        f"{d['total_s']}s to first difference "
+        f"(framework-owned: {d['framework_s']}s)")
     return d
 
 
@@ -433,9 +450,19 @@ def main():
                 "contract_start1_total_s": d1["total_s"],
                 "contract_warm_total_s": d2["total_s"],
                 "contract_warm_first_exec_s": d2["first_exec_s"],
+                "contract_warm_attach_s": d2["attach_s"],
+                "contract_warm_framework_s": d2["framework_s"],
             }
         except Exception as exc:
             log(f"warm-start bench skipped: {exc}")
+        # the parent pays its own session attach; overlap it with pair
+        # synthesis and the contract build below so time_mode's numbers are
+        # pure compile/execute
+        from sfft_tpu.utils.warmup import start_device_warmup
+
+        parent_wu = start_device_warmup()
+    else:
+        parent_wu = None
     cfg = make_config(n, n, w, dtype="float64", greek_chunk=0)
     log(f"contract config: greek={cfg.greek_backend} fdiff={cfg.fdiff_backend} "
         f"solver={cfg.solver} NEQ={cfg.NEQ}")
@@ -448,6 +475,10 @@ def main():
     Jd = jax.device_put(jnp.asarray(J))
 
     fn_c = build_step(cfg)
+    if parent_wu is not None:
+        attach = parent_wu.wait()
+        log(f"parent session attach: {attach:.1f}s (overlapped with "
+            f"warm-start probes + pair synthesis)")
     t_contract, comp_c, (compile_s, warm) = time_mode("contract", fn_c, Id, Jd, log)
 
     extra = {

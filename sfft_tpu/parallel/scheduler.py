@@ -117,6 +117,12 @@ class MultiTaskScheduler:
 
     # ------------------------------------------------------------------
     def run(self) -> Tuple[Dict[int, int], Dict[int, dict]]:
+        # Fire the device session attach now so it overlaps the prep pool:
+        # on axon a fresh process's first blocking dispatch pays an
+        # 80-350 s payload-independent attach (utils/warmup docstring).
+        from sfft_tpu.utils.warmup import start_device_warmup
+
+        start_device_warmup()
         threads = [threading.Thread(target=self._prep_worker)
                    for _ in range(self.nprep)]
         threads += [threading.Thread(target=self._sub_worker, args=(d,))
@@ -171,7 +177,9 @@ def run_mesh_batched(
     through `subtract_fn(tid, prep, precomputed)`.
     """
     from sfft_tpu.parallel.batch import batched_subtract, make_data_mesh
+    from sfft_tpu.utils.warmup import start_device_warmup
 
+    start_device_warmup()  # overlap the session attach with the prep pool
     sched = MultiTaskScheduler(
         num_tasks, prep_fn, lambda tid, prep: None,
         NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,

@@ -188,3 +188,14 @@ fits.write(kv["WEIGHTOUT_NAME"], wt)
     assert hdr_out["SATURATE"] == 12345.0      # swarp-updated satur level
     assert hdr_out["GAIN"] == 2.0              # base header preserved
     assert abs(hdr_out["CRPIX1"] - 7.5) < 1e-9  # ref WCS grid
+
+
+def test_device_warmup_background_touch():
+    """start_device_warmup must fire the first-touch RPC from a daemon
+    thread and report its duration; errors are recorded, not raised."""
+    from sfft_tpu.utils.warmup import start_device_warmup
+
+    wu = start_device_warmup()
+    secs = wu.wait(timeout=60.0)
+    assert wu.error is None
+    assert 0.0 <= secs < 60.0
