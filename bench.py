@@ -187,25 +187,31 @@ def bench_throughput(fn, Id, Jd, log, nrep=8):
     return thr, h2d
 
 
-def bench_throughput_e2e(cfg_fast, I, J, log, nrep=4):
+def bench_throughput_e2e(cfg, I, J, log, nrep=4, tag="fast"):
     """END-TO-END survey throughput: host float32 arrays (the on-disk FITS
-    dtype) -> H2D -> on-device f64 cast -> fast solve+subtract -> tiny diff
+    dtype) -> H2D -> on-device f64 cast -> solve+subtract -> tiny diff
     summary fetched. Double-buffered: pair k+1's device_put is issued before
     pair k's compute is synced, so transfer overlaps compute as far as the
     runtime allows. This is the honest disk-to-diff number the
-    device-resident metric above excludes (VERDICT r2 weak #5)."""
+    device-resident metric above excludes (VERDICT r2 weak #5). Shipping the
+    f32 on-disk dtype and upcasting on device is exact (f32 -> f64 is
+    injective) and halves the tunnel traffic vs shipping f64."""
     import jax
     import jax.numpy as jnp
     from sfft_tpu.core.engine import solve_and_subtract_fn
+    from sfft_tpu.utils.jitconst import jit_const_args
 
-    step = solve_and_subtract_fn(cfg_fast)
+    step = solve_and_subtract_fn(cfg)
 
-    @jax.jit
-    def step32(i32, j32):
+    def _step32(i32, j32):
         I64 = i32.astype(jnp.float64)
         J64 = j32.astype(jnp.float64)
         _sol, diff = step(I64, J64, I64, J64)
         return jnp.sqrt(jnp.mean(diff.astype(jnp.float32) ** 2))
+
+    # lift static tables to runtime args (the contract engine's tables would
+    # otherwise embed as HLO constants -> <1 MB/s executable ship on axon)
+    step32 = jit_const_args(_step32)
 
     host_pairs = [
         (np.ascontiguousarray(I, np.float32),
@@ -228,8 +234,8 @@ def bench_throughput_e2e(cfg_fast, I, J, log, nrep=4):
     dt = time.time() - t0
     thr = nrep / dt
     mb = sum(a.nbytes for a in host_pairs[0]) / 1e6
-    log(f"throughput end-to-end (host f32 -> diff summary, double-buffered): "
-        f"{nrep} pairs ({mb:.0f} MB each) in {dt:.2f}s -> "
+    log(f"throughput end-to-end [{tag}] (host f32 -> diff summary, "
+        f"double-buffered): {nrep} pairs ({mb:.0f} MB each) in {dt:.2f}s -> "
         f"{thr:.3f} pairs/s/chip")
     return thr
 
@@ -505,10 +511,15 @@ def main():
         except Exception as exc:
             log(f"throughput bench skipped: {exc}")
         try:
-            thr_e2e = bench_throughput_e2e(cfg_fast, I, J, log)
+            thr_e2e = bench_throughput_e2e(cfg_fast, I, J, log, tag="fast")
             extra["fast_pairs_per_sec_chip_e2e"] = round(thr_e2e, 3)
         except Exception as exc:
             log(f"e2e throughput bench skipped: {exc}")
+        try:
+            thr_e2e_c = bench_throughput_e2e(cfg, I, J, log, tag="contract")
+            extra["contract_pairs_per_sec_chip_e2e"] = round(thr_e2e_c, 3)
+        except Exception as exc:
+            log(f"contract e2e throughput bench skipped: {exc}")
 
     if platform != "cpu":
         try:
