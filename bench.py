@@ -428,10 +428,45 @@ def bench_bspline(log):
     return out
 
 
+def probe_backend(timeout_s=600, retries=3, wait_s=300):
+    """Device discovery in a SUBPROCESS with a timeout: axon client creation
+    can hang indefinitely during runtime outages (observed 2026-08-17: a
+    wedged server blocked jax.devices() in the parent for 40+ min with no
+    error). The probe leaves the parent uncommitted so it can fall back to a
+    CPU bench and still emit a JSON line instead of hanging the driver."""
+    import subprocess
+    import sys as _sys
+
+    code = "import jax; print(jax.default_backend())"
+    for k in range(retries):
+        try:
+            out = subprocess.run([_sys.executable, "-c", code],
+                                 capture_output=True, text=True,
+                                 timeout=timeout_s)
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            if out.returncode == 0 and line:
+                return line
+        except subprocess.TimeoutExpired:
+            log(f"backend probe {k + 1}/{retries}: no response in "
+                f"{timeout_s}s (runtime outage?)")
+        if k + 1 < retries:
+            time.sleep(wait_s)
+    return None
+
+
 def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+    tpu_unavailable = False
+    probed = probe_backend()
+    if probed is None:
+        # TPU runtime unreachable: bench on CPU so the driver still gets a
+        # JSON line (marked) rather than an indefinite hang
+        jax.config.update("jax_platforms", "cpu")
+        tpu_unavailable = True
+        log("TPU runtime unreachable after retries -> CPU fallback bench")
     from sfft_tpu.utils.cache import setup_compile_cache
 
     setup_compile_cache()
@@ -493,6 +528,8 @@ def main():
         "warm_start": warm,
         **extra_ws,
     }
+    if tpu_unavailable:
+        extra["tpu_unavailable"] = True
 
     # everything beyond the headline contract number is best-effort: a
     # transient axon failure there must not cost the whole bench output
