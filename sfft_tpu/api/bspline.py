@@ -176,11 +176,61 @@ def write_bspline_solution_fits(path: str, solution: np.ndarray, cfg: SFFTConfig
         hdr.add(f"KIKY{n}", k, "MeLOn: SFFT")
     hdr.add("BSPTYPE", cfg.bg_basis.kind, "MeLOn: SFFT")
     hdr.add("BSPDEG", cfg.bg_basis.degree, "MeLOn: SFFT")
+    hdr.add("NBIKX", len(cfg.bg_basis.int_knots_x), "MeLOn: SFFT")
+    hdr.add("NBIKY", len(cfg.bg_basis.int_knots_y), "MeLOn: SFFT")
+    for n, k in enumerate(cfg.bg_basis.int_knots_x):
+        hdr.add(f"BIKX{n}", k, "MeLOn: SFFT")
+    for n, k in enumerate(cfg.bg_basis.int_knots_y):
+        hdr.add(f"BIKY{n}", k, "MeLOn: SFFT")
+    hdr.add("CPHOTR", cfg.const_phot_ratio, "MeLOn: SFFT")
     hdr.add("SEPSCA", cfg.scaling_basis is not None, "MeLOn: SFFT")
     if cfg.scaling_basis is not None:
         hdr.add("SSPTYPE", cfg.scaling_basis.kind, "MeLOn: SFFT")
         hdr.add("SSPDEG", cfg.scaling_basis.degree, "MeLOn: SFFT")
+        hdr.add("NSIKX", len(cfg.scaling_basis.int_knots_x), "MeLOn: SFFT")
+        hdr.add("NSIKY", len(cfg.scaling_basis.int_knots_y), "MeLOn: SFFT")
+        for n, k in enumerate(cfg.scaling_basis.int_knots_x):
+            hdr.add(f"SIKX{n}", k, "MeLOn: SFFT")
+        for n, k in enumerate(cfg.scaling_basis.int_knots_y):
+            hdr.add(f"SIKY{n}", k, "MeLOn: SFFT")
     fits.write(path, np.asarray(solution, np.float64).reshape(1, -1), hdr)
+
+
+def _basis_from_headers(hdr, prefix: str) -> BasisSpec:
+    """Rebuild a BasisSpec from the v2 header keys written above.
+    prefix: 'K' (kernel) | 'B' (background) | 'S' (scaling)."""
+    kind = str(hdr[f"{prefix}SPTYPE"]).strip()
+    degree = int(hdr[f"{prefix}SPDEG"])
+    kx = tuple(float(hdr[f"{prefix}IKX{n}"])
+               for n in range(int(hdr.get(f"N{prefix}IKX", 0) or 0)))
+    ky = tuple(float(hdr[f"{prefix}IKY{n}"])
+               for n in range(int(hdr.get(f"N{prefix}IKY", 0) or 0)))
+    return BasisSpec(kind, degree, kx, ky)
+
+
+def read_bspline_solution_fits(path: str):
+    """Inverse of write_bspline_solution_fits: (solution, SFFTConfig) with the
+    full v2 basis set (kernel/background/scaling specs incl. internal knots)
+    reconstructed from headers — the skip-solve / checkpoint-resume reader for
+    generalized configs (reference Read_SFFTSolution + the
+    BSpline_MatchingKernel.FromFITS header path,
+    sfft/BSplineSFFT.py:4358-4555)."""
+    data, hdr = fits.read(path)
+    solution = np.asarray(data, np.float64).reshape(-1)
+    cfg = SFFTConfig(
+        N0=int(hdr["N0"]), N1=int(hdr["N1"]),
+        w0=(int(hdr["L0"]) - 1) // 2, w1=(int(hdr["L1"]) - 1) // 2,
+        kernel_basis=_basis_from_headers(hdr, "K"),
+        bg_basis=_basis_from_headers(hdr, "B"),
+        const_phot_ratio=bool(hdr.get("CPHOTR", True)),
+        scaling_basis=(_basis_from_headers(hdr, "S")
+                       if hdr.get("SEPSCA") else None),
+    )
+    assert cfg.Fij == int(hdr["FIJ"]) and cfg.Fpq == int(hdr["FPQ"]), \
+        "solution FITS headers inconsistent with reconstructed config"
+    assert solution.size == cfg.NEQ, \
+        f"solution length {solution.size} != NEQ {cfg.NEQ}"
+    return solution, cfg
 
 
 class BSplineMatchingKernel:
@@ -189,6 +239,13 @@ class BSplineMatchingKernel:
 
     def __init__(self, XY_q: np.ndarray):
         self.XY_q = np.asarray(XY_q, dtype=np.float64)
+
+    def from_fits(self, path: str) -> np.ndarray:
+        """Realize matching kernels at XY_q straight from a solution FITS
+        written by write_bspline_solution_fits (reference
+        BSpline_MatchingKernel.FromFITS, sfft/BSplineSFFT.py:4557-4650)."""
+        solution, cfg = read_bspline_solution_fits(path)
+        return self.from_solution(solution, cfg)
 
     def from_solution(self, solution: np.ndarray, cfg: SFFTConfig) -> np.ndarray:
         sx = self.XY_q[:, 0] / cfg.N0

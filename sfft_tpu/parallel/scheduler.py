@@ -337,9 +337,10 @@ class MultiEasySparsePacket:
              VERBOSE_LEVEL: int = 1):
         """MESH_BATCH=False: pipelined two-stage dispatch — CPU preprocessing
         threads overlap the device subtraction loop, reference semantics
-        (sfft/MultiEasySparsePacket.py:930-940). MESH_BATCH=True: preprocess
-        everything, then run homogeneous-config groups as sharded array
-        programs over the device mesh."""
+        (sfft/MultiEasySparsePacket.py:930-940). MESH_BATCH=True: STREAMING
+        mesh batching — homogeneous-config groups are dispatched as sharded
+        array programs the moment they fill to mesh size, while later preps
+        are still running (run_mesh_batched)."""
         from sfft_tpu.api.easy_sparse import EasySparsePacket
 
         def prep_fn(tid):

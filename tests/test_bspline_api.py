@@ -90,6 +90,41 @@ def test_bsp_fits_end_to_end(tmp_path, rng):
     assert hdr["KSPTYPE"] == "bspline"
 
 
+def test_v2_solution_fits_roundtrip(tmp_path, rng):
+    """write_bspline_solution_fits -> read_bspline_solution_fits must restore
+    the FULL v2 config (kernel/background/scaling bases incl. internal knots)
+    and from_fits must realize identical kernels — the checkpoint/resume
+    reader for generalized configs (reference BSpline_MatchingKernel.FromFITS,
+    sfft/BSplineSFFT.py:4557-4650)."""
+    from sfft_tpu.api.bspline import read_bspline_solution_fits
+
+    I, J = make_pair(rng)
+    cfg = make_bspline_config(
+        40, 36, 1,
+        KerSpType="B-Spline", KerSpDegree=2,
+        KerIntKnotX=[20.0], KerIntKnotY=[14.0, 24.0],
+        SEPARATE_SCALING=True, ScaSpType="B-Spline", ScaSpDegree=1,
+        ScaIntKnotX=[20.0], ScaIntKnotY=[18.0],
+        BkgSpType="B-Spline", BkgSpDegree=2,
+        BkgIntKnotX=[20.0], BkgIntKnotY=[18.0],
+    )
+    sol, _ = ElementalSFFT.ESS(I, J, cfg)
+    sol = np.asarray(sol)
+    path = str(tmp_path / "sol_v2.fits")
+    write_bspline_solution_fits(path, sol, cfg)
+    sol2, cfg2 = read_bspline_solution_fits(path)
+    assert cfg2.kernel_basis == cfg.kernel_basis
+    assert cfg2.bg_basis == cfg.bg_basis
+    assert cfg2.scaling_basis == cfg.scaling_basis
+    assert (cfg2.N0, cfg2.N1, cfg2.w0, cfg2.w1) == (cfg.N0, cfg.N1, cfg.w0, cfg.w1)
+    assert cfg2.scaling_mode == cfg.scaling_mode
+    np.testing.assert_array_equal(sol2, sol)
+    q = np.array([[10.0, 9.0], [35.0, 30.0]])
+    np.testing.assert_allclose(
+        BSplineMatchingKernel(q).from_fits(path),
+        BSplineMatchingKernel(q).from_solution(sol, cfg), rtol=1e-12)
+
+
 def test_bsp_with_regularization(tmp_path, rng):
     I, J = make_pair(rng)
     for name, arr in [("ref", I), ("sci", J)]:
