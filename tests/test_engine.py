@@ -166,3 +166,25 @@ def test_contam_mask_propagation(rng):
     # propagated mask must cover the original contaminated pixels' neighborhood
     assert contam_out.shape == I.shape
     assert contam_out.sum() >= contam.sum()
+
+
+def test_forceconv_sci_sign_and_nan(rng):
+    """ForceConv='SCI' swaps the roles (convolve SCI to match REF) and negates
+    the difference so D stays SCI-minus-model oriented: PCP(A, B, 'SCI') must
+    equal -PCP(B, A, 'REF') exactly, and NaN pixels of either input must come
+    back NaN in the difference (reference CustomizedPacket.py ForceConv
+    handling + NaN union semantics)."""
+    from sfft_tpu.api.customized import PureJAXCustomizedPacket as P
+
+    A, B = make_pair(rng)
+    mA, mB = A.copy(), B.copy()
+    A = A.copy()
+    A[3, 4] = np.nan  # masked inputs stay clean; unmasked carry a NaN
+    sol_sci, diff_sci = P.PCP(A, B, mA, mB, "SCI", 1)
+    sol_ref, diff_ref = P.PCP(B, A, mB, mA, "REF", 1)
+    np.testing.assert_array_equal(np.asarray(sol_sci), np.asarray(sol_ref))
+    d1, d2 = np.asarray(diff_sci), np.asarray(diff_ref)
+    assert np.isnan(d1[3, 4]) and np.isnan(d2[3, 4])
+    mask = ~np.isnan(d1)
+    np.testing.assert_array_equal(np.isnan(d1), np.isnan(d2))
+    np.testing.assert_allclose(d1[mask], -d2[mask], rtol=0, atol=0)
