@@ -1,5 +1,7 @@
 """Survey-mode parallelism: mesh batching + multi-task scheduler semantics."""
 
+import os
+import os.path as pa
 import time
 
 import numpy as np
@@ -344,3 +346,77 @@ def test_batched_subtract_exact_backend(rng):
     assert np.max(np.abs(np.asarray(sols[0]) - np.asarray(sol0))) / sc < 1e-6
     np.testing.assert_allclose(np.asarray(diffs[0]), np.asarray(diff0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_multihost_two_real_processes(tmp_path):
+    """REAL multi-process validation of the multi-host survey path: two
+    OS processes, each with 2 virtual CPU devices, wired into one 4-device
+    runtime via jax.distributed (env-spec path). Each process must return
+    results ONLY for its own task slab, fetched from its addressable shards
+    (remote shards are non-addressable in a real run — the failure mode
+    single-process testing cannot see), and the solutions must match the
+    single-process ground truth bit-for-bit-grade."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = pa.dirname(pa.dirname(pa.abspath(__file__)))
+    worker = tmp_path / "mh_worker.py"
+    worker.write_text(textwrap.dedent("""
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        sys.path.insert(0, sys.argv[1])
+        import numpy as np
+        from sfft_tpu.parallel.multihost import run_survey_multihost
+
+        sys.path.insert(0, os.path.join(sys.argv[1], "tests"))
+        from test_engine import make_pair, base_cfg
+
+        def load_fn(t):
+            I, J = make_pair(np.random.default_rng(t), N0=32, N1=32)
+            return I, J, I, J
+
+        cfg = base_cfg(N0=32, N1=32, w=1)
+        res = run_survey_multihost(list(range(6)), load_fn, cfg)
+        np.savez(sys.argv[2],
+                 keys=np.array(sorted(res), int),
+                 sols=np.stack([res[k][0] for k in sorted(res)]),
+                 rms=np.array([res[k][1] for k in sorted(res)]))
+        print("WORKER_OK", jax.process_index(), sorted(res), flush=True)
+    """))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ,
+                   SFFT_COORDINATOR_ADDRESS=f"localhost:{port}",
+                   SFFT_NUM_PROCESSES="2", SFFT_PROCESS_ID=str(pid))
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), repo,
+             str(tmp_path / f"res{pid}.npz")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+
+    from sfft_tpu.core.engine import GeneralSFFT
+    from tests.test_engine import make_pair, base_cfg
+
+    cfg = base_cfg(N0=32, N1=32, w=1)
+    r0 = np.load(tmp_path / "res0.npz")
+    r1 = np.load(tmp_path / "res1.npz")
+    np.testing.assert_array_equal(r0["keys"], [0, 1, 2])   # slab 0
+    np.testing.assert_array_equal(r1["keys"], [3, 4, 5])   # slab 1
+    for r in (r0, r1):
+        for k, sol, rms in zip(r["keys"], r["sols"], r["rms"]):
+            I, J = make_pair(np.random.default_rng(int(k)), N0=32, N1=32)
+            sol_ref, diff_ref, _ = GeneralSFFT.GSS(I, J, I, J, cfg)
+            np.testing.assert_allclose(sol, np.asarray(sol_ref),
+                                       rtol=1e-10, atol=1e-12)
+            assert abs(rms - float(np.sqrt(np.mean(np.asarray(diff_ref) ** 2)))) < 1e-9
