@@ -19,11 +19,6 @@ import numpy as np
 
 sys.path.insert(0, pa.dirname(pa.dirname(pa.abspath(__file__))))
 
-import jax
-
-if jax.default_backend() not in ("cpu", "gpu") and False:
-    pass  # TPU path is fine for the customized packet (peeled f64 backend)
-
 from sfft_tpu.io import fits
 from sfft_tpu import CustomizedPacket
 
@@ -71,6 +66,9 @@ def main():
         ref, sci, mref, msci = make_synthetic(args.out)
     else:
         ref, sci, mref, msci = args.ref, args.sci, args.mref, args.msci
+        if None in (ref, sci, mref, msci):
+            ap.error("pass --ref/--sci/--mref/--msci FITS paths, "
+                     "or --synthetic to generate a verifiable pair")
 
     # GPU-warm-up idiom from the reference driver: first call compiles
     t0 = time.time()
