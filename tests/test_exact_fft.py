@@ -211,3 +211,30 @@ def test_exact_solver_reaches_f64_floor(rng):
     assert np.linalg.norm(x - x_np) / np.linalg.norm(x_np) < 1e-5
     r = A @ x - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
+
+
+def test_engine_exact_backend_nonsquare_asymmetric(rng):
+    """Shape robustness of the full exact pipeline: non-square mixed-radix
+    image (30 = 2*3*5, 28 = 2^2*7 — exercises radix-3/5/7 DFT stages end to
+    end) with an ASYMMETRIC kernel (w0=2, w1=1), all three exact backends
+    against the f64 FFT/LU oracle. No other engine-level test leaves the
+    square power-of-two + w0==w1 comfort zone."""
+    import dataclasses
+
+    from sfft_tpu.config import BasisSpec, SFFTConfig
+    from sfft_tpu.core.engine import ElementalSFFT
+    from tests.test_engine import make_pair
+
+    cfg = SFFTConfig(N0=30, N1=28, w0=2, w1=1,
+                     kernel_basis=BasisSpec("polynomial", 2),
+                     bg_basis=BasisSpec("polynomial", 2),
+                     const_phot_ratio=True)
+    cfg_x = dataclasses.replace(cfg, greek_backend="exact",
+                                fdiff_backend="exact", solver="exact")
+    I, J = make_pair(rng, N0=30, N1=28)
+    sol0, diff0 = ElementalSFFT.ESS(I, J, cfg, Subtract=True)
+    sol1, diff1 = ElementalSFFT.ESS(I, J, cfg_x, Subtract=True)
+    sc = np.max(np.abs(np.asarray(sol0)))
+    assert np.max(np.abs(np.asarray(sol1) - np.asarray(sol0))) / sc < 1e-8
+    np.testing.assert_allclose(np.asarray(diff1), np.asarray(diff0),
+                               rtol=1e-7, atol=1e-8)
