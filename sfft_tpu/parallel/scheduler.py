@@ -51,6 +51,7 @@ class MultiTaskScheduler:
         TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
         TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
         VERBOSE_LEVEL: int = 1,
+        prefetch_fn: Optional[Callable[[object], object]] = None,
     ):
         self.num_tasks = num_tasks
         self.prep_fn = prep_fn
@@ -60,6 +61,13 @@ class MultiTaskScheduler:
         self.t_prep = TIMEOUT_4PREPROC_EACHTASK
         self.t_sub = TIMEOUT_4SUBTRACT_EACHTASK
         self.verbose = VERBOSE_LEVEL
+        # prefetch_fn(prep) -> prep: issue the NEXT ready task's H2D transfers
+        # (async jax.device_put) right before the current task's blocking
+        # solve, so the ~47 MB/s axon upload of pair k+1 rides under pair k's
+        # compute instead of serializing in front of it (a 4K f64 pair is
+        # 268 MB ~ 5.7 s of tunnel time). One-task lookahead bounds device
+        # residency to two tasks' inputs.
+        self.prefetch_fn = prefetch_fn
         self.lock = threading.RLock()
         self.status: Dict[int, int] = {i: STATUS_INIT for i in range(num_tasks)}
         self.products: Dict[int, dict] = {i: {} for i in range(num_tasks)}
@@ -103,6 +111,23 @@ class MultiTaskScheduler:
             if tid is None:
                 time.sleep(0.01)  # reference: 10 ms nap while prep pending
                 continue
+            if self.prefetch_fn is not None:
+                with self.lock:
+                    nxt = next(
+                        (i for i, s in self.status.items()
+                         if s == STATUS_PREP_OK
+                         and not self.products[i].get("prefetched")), None)
+                    if nxt is not None:
+                        self.products[nxt]["prefetched"] = True
+                try:
+                    if nxt is not None:
+                        # async H2D issue; overlaps the blocking solve below
+                        prefetched = self.prefetch_fn(self.products[nxt]["prep"])
+                        with self.lock:
+                            self.products[nxt]["prep"] = prefetched
+                except Exception:
+                    if self.verbose >= 1:
+                        traceback.print_exc()
             try:
                 with TimeoutAfter(self.t_sub):
                     result = self.subtract_fn(tid, self.products[tid]["prep"])
@@ -139,9 +164,8 @@ class MultiTaskScheduler:
         return self.status, self.products
 
     def run_prep_only(self) -> None:
-        """Run only the preprocessing pool (statuses end at PREP_OK/PREP_FAIL);
-        used by the mesh-batched dispatch, which needs all prep products up
-        front to group homogeneous tasks."""
+        """Run only the preprocessing pool (statuses end at PREP_OK/PREP_FAIL)
+        — for callers that dispatch the device stage themselves."""
         threads = [threading.Thread(target=self._prep_worker)
                    for _ in range(self.nprep)]
         for t in threads:
@@ -299,6 +323,23 @@ def run_mesh_batched(
     return status, products
 
 
+def _prefetch_pair_planes(prep: dict) -> dict:
+    """Issue async H2D for the four solve-input planes of an ESP/ECP prep
+    product (device_put returns immediately once the session is attached;
+    the DMA then overlaps the current task's blocking solve). The engine
+    consumes jnp arrays transparently. Used only on the per-task path —
+    the mesh-batch path np.stacks prep products on host, and a device
+    round-trip there would cost a ~30 MB/s D2H fetch on axon."""
+    import jax
+    import jax.numpy as jnp
+
+    for k in ("PixA_I", "PixA_J", "PixA_mI", "PixA_mJ"):
+        a = prep.get(k)
+        if a is not None and isinstance(a, np.ndarray):
+            prep[k] = jax.device_put(jnp.asarray(a))
+    return prep
+
+
 def _prep_group_inputs(prep: dict) -> tuple:
     """(cfg, I, J, mI, mJ, batchable) from an ESP_Prep/ECP_Prep product.
     Contamination-mask propagation needs an extra kernel pass per task
@@ -377,6 +418,7 @@ class MultiEasySparsePacket:
             TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
             TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
             VERBOSE_LEVEL=VERBOSE_LEVEL,
+            prefetch_fn=_prefetch_pair_planes,
         )
         return sched.run()
 
@@ -439,5 +481,6 @@ class MultiEasyCrowdedPacket:
             TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
             TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
             VERBOSE_LEVEL=VERBOSE_LEVEL,
+            prefetch_fn=_prefetch_pair_planes,
         )
         return sched.run()

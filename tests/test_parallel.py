@@ -420,3 +420,49 @@ def test_multihost_two_real_processes(tmp_path):
             np.testing.assert_allclose(sol, np.asarray(sol_ref),
                                        rtol=1e-10, atol=1e-12)
             assert abs(rms - float(np.sqrt(np.mean(np.asarray(diff_ref) ** 2)))) < 1e-9
+
+
+def test_scheduler_prefetch_overlaps_next_task():
+    """The sub worker must issue task k+1's prefetch (async H2D stand-in)
+    BEFORE task k's blocking subtract, and the subtract must receive the
+    prefetched product. First task is never prefetched (nothing runs under
+    it), and results/statuses are unaffected."""
+    from sfft_tpu.parallel.scheduler import MultiTaskScheduler, STATUS_OK
+
+    events = []
+    lock = __import__("threading").Lock()
+
+    def prep_fn(tid):
+        return {"tid": tid, "dev": False}
+
+    def prefetch_fn(prep):
+        with lock:
+            events.append(("prefetch", prep["tid"]))
+        return dict(prep, dev=True)
+
+    def subtract_fn(tid, prep):
+        with lock:
+            events.append(("sub_start", tid, prep["dev"]))
+        time.sleep(0.05)
+        with lock:
+            events.append(("sub_end", tid))
+        return prep["dev"]
+
+    sched = MultiTaskScheduler(
+        4, prep_fn, subtract_fn, NUM_THREADS_4PREPROC=4,
+        NUM_THREADS_4SUBTRACT=1, VERBOSE_LEVEL=0, prefetch_fn=prefetch_fn)
+    status, products = sched.run()
+    assert all(s == STATUS_OK for s in status.values())
+    # every non-first task was prefetched before its subtract started
+    pf = {t for e, *r in events if e == "prefetch" for t in r}
+    assert len(pf) == 3  # one task (the first claimed) is never prefetched
+    for e in events:
+        if e[0] == "sub_start" and e[1] in pf:
+            assert e[2] is True, f"task {e[1]} ran on un-prefetched product"
+    # the prefetch of some later task was issued before an earlier task's
+    # subtract finished (overlap actually happened)
+    first_end = next(i for i, e in enumerate(events) if e[0] == "sub_end")
+    assert any(e[0] == "prefetch" for e in events[:first_end])
+    # un-prefetched first task still subtracts fine (dev=False result)
+    assert sorted(products[t]["result"] for t in range(4)) == [
+        False, True, True, True]
