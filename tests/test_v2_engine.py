@@ -286,3 +286,41 @@ def test_regularization_streamed_equals_dense(rng):
         np.testing.assert_allclose(np.asarray(lhs_str), lhs_dense,
                                    atol=1e-12 * scale)
         np.testing.assert_allclose(np.asarray(rhs_str), np.asarray(rhs_dense))
+
+
+def test_random_config_sweep_vs_oracle():
+    """Randomized cross-product of engine dimensions vs the dense-LSQ oracle:
+    kernel/background basis kind+degree+knots, all three scaling modes,
+    const_phot_ratio, asymmetric kernel half-widths, non-square images.
+    Seeded, 8 draws — a combinatorial net under the targeted tests."""
+    rng = np.random.default_rng(2026)
+    for draw in range(8):
+        N0 = int(rng.integers(28, 44))
+        N1 = int(rng.integers(24, 40))
+        w0 = int(rng.integers(1, 3))
+        w1 = int(rng.integers(1, 3))
+
+        def rand_basis(max_funcs=None):
+            if rng.random() < 0.5:
+                return BasisSpec("polynomial", int(rng.integers(0, 3)))
+            deg = int(rng.integers(1, 3))
+            kx = sorted(rng.uniform(6, N0 - 6, rng.integers(0, 2)))
+            ky = sorted(rng.uniform(6, N1 - 6, rng.integers(0, 2)))
+            return BasisSpec("bspline", deg, tuple(kx), tuple(ky))
+
+        kb = rand_basis()
+        bb = rand_basis()
+        mode = rng.choice(["ENTANGLED", "SEPARATE-CONSTANT",
+                           "SEPARATE-VARYING"])
+        sb = None
+        cpr = bool(rng.random() < 0.5)
+        if mode == "SEPARATE-CONSTANT":
+            sb = BasisSpec("polynomial", 0)
+        elif mode == "SEPARATE-VARYING":
+            sb = BasisSpec("polynomial", 1)
+            if kb.num_funcs() < sb.num_funcs():
+                kb = BasisSpec("polynomial", 2)
+        cfg = SFFTConfig(N0=N0, N1=N1, w0=w0, w1=w1, kernel_basis=kb,
+                         bg_basis=bb, scaling_basis=sb, const_phot_ratio=cpr)
+        assert cfg.scaling_mode == mode
+        check_vs_oracle(np.random.default_rng(1000 + draw), cfg)
