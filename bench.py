@@ -428,12 +428,18 @@ def bench_bspline(log):
     return out
 
 
-def probe_backend(timeout_s=600, retries=3, wait_s=300):
+def probe_backend(timeout_s=480, retries=2, wait_s=120):
     """Device discovery in a SUBPROCESS with a timeout: axon client creation
     can hang indefinitely during runtime outages (observed 2026-08-17: a
     wedged server blocked jax.devices() in the parent for 40+ min with no
     error). The probe leaves the parent uncommitted so it can fall back to a
-    CPU bench and still emit a JSON line instead of hanging the driver."""
+    CPU bench and still emit a JSON line instead of hanging the driver.
+
+    Worst case before fallback: 2x480 s probes + one 120 s wait = 18 min —
+    kept well under plausible driver timeouts. A HEALTHY runtime creates the
+    client in seconds (the 80-350 s session attach is paid at first blocking
+    dispatch, not at backend init), so 480 s cannot misclassify a slow but
+    live backend."""
     import subprocess
     import sys as _sys
 
