@@ -183,7 +183,9 @@ def bench_throughput(fn, Id, Jd, log, nrep=8):
     Xd = jax.device_put(jnp.asarray(fresh))
     float(np.asarray(jnp.sum(Xd[:2, :2])))
     h2d = fresh.nbytes / (time.time() - t0) / 1e6
-    log(f"H2D: {fresh.nbytes/1e6:.0f} MB at {h2d:.0f} MB/s (axon tunnel)")
+    via = "axon tunnel" if jax.default_backend() not in ("cpu", "gpu") \
+        else jax.default_backend()
+    log(f"H2D: {fresh.nbytes/1e6:.0f} MB at {h2d:.0f} MB/s ({via})")
     return thr, h2d
 
 
