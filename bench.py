@@ -468,13 +468,27 @@ def main():
     jax.config.update("jax_enable_x64", True)
 
     tpu_unavailable = False
+    last_tpu = None
     probed = probe_backend()
     if probed is None:
         # TPU runtime unreachable: bench on CPU so the driver still gets a
-        # JSON line (marked) rather than an indefinite hang
+        # JSON line (marked) rather than an indefinite hang. The committed
+        # BENCH_TPU_MEASURED.json (last full on-hardware run + raw-log
+        # pointers) rides along so the recorded JSON keeps the real numbers.
         jax.config.update("jax_platforms", "cpu")
         tpu_unavailable = True
         log("TPU runtime unreachable after retries -> CPU fallback bench")
+        try:
+            import os
+
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_TPU_MEASURED.json")) as fh:
+                last_tpu = json.load(fh)
+            log(f"carrying last on-hardware measurement "
+                f"({last_tpu['measured_utc']}): contract "
+                f"{last_tpu['value']}s at 4K")
+        except Exception:
+            last_tpu = None
     from sfft_tpu.utils.cache import setup_compile_cache
 
     setup_compile_cache()
@@ -538,6 +552,8 @@ def main():
     }
     if tpu_unavailable:
         extra["tpu_unavailable"] = True
+        if last_tpu is not None:
+            extra["last_tpu_measurement"] = last_tpu
 
     # everything beyond the headline contract number is best-effort: a
     # transient axon failure there must not cost the whole bench output
