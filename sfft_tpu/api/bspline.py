@@ -91,7 +91,7 @@ def make_bspline_config(
             greek_backend="exact", fdiff_backend="exact", solver="exact",
         )
     defaults.update(engine_kwargs)
-    return SFFTConfig(
+    cfg = SFFTConfig(
         N0=int(N0), N1=int(N1), w0=int(GKerHW), w1=int(GKerHW),
         kernel_basis=kernel_basis, bg_basis=bg_basis,
         scaling_basis=scaling_basis, const_phot_ratio=False,
@@ -99,6 +99,17 @@ def make_bspline_config(
         ignore_laplacian_kercent=bool(IGNORE_LAPLACIAN_KERCENT),
         **defaults,
     )
+    if (cfg.solver == "exact" and cfg.NEQ >= 8192
+            and not (cfg.regularize_lambda > 0 and cfg.reg_xy)):
+        import warnings
+
+        warnings.warn(
+            "MeLOn WARNING: solver='exact' on an UNREGULARIZED system with "
+            f"NEQ={cfg.NEQ} >= 8192 takes the unconditional exact-f64 "
+            "Cholesky route (slow at this size). Enable REGULARIZE_KERNEL "
+            "(Tikhonov keeps the equilibrated system well-conditioned) to "
+            "use the fast f32-factor + exact-f64-residual refinement.")
+    return cfg
 
 
 class BSplinePacket:

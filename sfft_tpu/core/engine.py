@@ -178,12 +178,36 @@ def solve_and_subtract_fn(cfg: SFFTConfig):
             dt = jnp.dtype(cfg.dtype)
             shared = exact_plane_spectra(mI.astype(dt), mJ.astype(dt), cfg)
         sol = _solve_impl(cfg, mI, mJ, shared=shared)
+        # trace-time identity: True only when the ENCLOSING traced function
+        # passes the same tracer object twice (a 2-arg wrapper calling
+        # step(I, J, I, J) — bench, solve_and_subtract_same_fn). Under the
+        # generic 4-parameter jit the four inputs are always distinct
+        # tracers, so the masked solve and unmasked subtract correctly keep
+        # separate spectra there (they genuinely differ in survey use).
         same = (I is mI) and (J is mJ)
         diff = _subtract_impl(cfg, I, J, sol,
                               shared=shared if (both_exact and same) else None)
         return sol, diff
 
     return step
+
+
+def solve_and_subtract_same_fn(cfg: SFFTConfig):
+    """Fused step for the masked == unmasked special case (2 array inputs):
+    passing the same tracers through `step` makes the exact backends share
+    ONE plane-spectra pass between solve and difference (~340 ms of pair-FFT
+    at 4K). Use when the caller solves and applies on the identical pair."""
+    step = solve_and_subtract_fn(cfg)
+
+    def step_same(I, J):
+        return step(I, J, I, J)
+
+    return step_same
+
+
+@lru_cache(maxsize=64)
+def _jitted_solve_and_subtract_same(cfg: SFFTConfig):
+    return _jit(cfg, solve_and_subtract_same_fn(cfg))
 
 
 @lru_cache(maxsize=64)
@@ -238,6 +262,14 @@ class GeneralSFFT:
         }
         if len(shapes) > 1:
             raise ValueError("input images must share one shape")
+
+        if PixA_I is PixA_mI and PixA_J is PixA_mJ and ContamMask_I is None:
+            # masked == unmasked (same host arrays): one fused program whose
+            # exact backends share a single plane-spectra pass between solve
+            # and difference (solve_and_subtract_same_fn)
+            solution, diff = _jitted_solve_and_subtract_same(cfg)(
+                jnp.asarray(PixA_I), jnp.asarray(PixA_J))
+            return solution, diff, None
 
         solution, _ = ElementalSFFT.ESS(PixA_mI, PixA_mJ, cfg, None, Subtract=False)
         _, diff = ElementalSFFT.ESS(PixA_I, PixA_J, cfg, solution, Subtract=True)

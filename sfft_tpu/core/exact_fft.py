@@ -42,10 +42,12 @@ NB = 6                  # bits per integer slice
 NSL_DATA = 9            # data slices (54 bits)
 NSL_STATIC = 8          # static-matrix slices (48 bits: the static DFT/phase
                         # matrices are unit-scale, so slice 9 sat below the
-                        # pair lanes' 2^-48 floor — measured: windowed-corr
-                        # table error IDENTICAL at 1.462e-13 with 8 vs 9
-                        # (tools/diag_slice_tuning.py), while every deep-path
-                        # static operand narrows by 11%)
+                        # pair lanes' 2^-48 floor — measured with a call-time-
+                        # resolved sweep (tools/diag_slice_tuning.py,
+                        # 2026-08-18): windowed-corr table error 1.681e-13 at
+                        # 8 vs 1.683e-13 at 9 (even 7 gives 1.664e-13; the
+                        # data slices/KMAX truncation dominate), while every
+                        # deep-path static operand narrows by 11%)
 KMAX = 8                # keep slice combos with i + j <= KMAX
 
 
@@ -189,7 +191,10 @@ def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
     return jnp.stack(out), s
 
 
-_INTERN: dict = {}
+from collections import OrderedDict
+
+_INTERN: "OrderedDict" = OrderedDict()
+_INTERN_BUDGET = 1024 * 1024 * 1024   # host bytes; LRU-evicted beyond this
 
 
 def _intern(a: np.ndarray) -> np.ndarray:
@@ -198,7 +203,10 @@ def _intern(a: np.ndarray) -> np.ndarray:
     collapses what used to be 4-22 duplicated multi-MB hex blobs per module
     (measured: the 4K contract StableHLO was 121.7 MB of which 119.5 MB was
     duplicated constant text — the whole module must ship to the axon server
-    at compile/first-dispatch time, which dominated the 420 s cold start)."""
+    at compile/first-dispatch time, which dominated the 420 s cold start).
+    Byte-bounded LRU so a long-lived survey process over many distinct
+    (shape, kernel) configs cannot grow host RAM without bound; eviction only
+    drops the canonical reference (live traces keep their own)."""
     import hashlib
 
     a = np.ascontiguousarray(a)
@@ -207,12 +215,22 @@ def _intern(a: np.ndarray) -> np.ndarray:
     if got is None:
         a.setflags(write=False)
         _INTERN[key] = a
+        total = sum(int(v.nbytes) for v in _INTERN.values())
+        while total > _INTERN_BUDGET and len(_INTERN) > 1:
+            _, ev = _INTERN.popitem(last=False)
+            total -= int(ev.nbytes)
         return a
+    _INTERN.move_to_end(key)
     return got
 
 
-def _slice_static(M: np.ndarray, nsl: int = NSL_STATIC, int8: bool = True):
-    """Static real matrix -> (integer slices (nsl, ...), pow2 scale). numpy."""
+def _slice_static(M: np.ndarray, nsl: int = None, int8: bool = True):
+    """Static real matrix -> (integer slices (nsl, ...), pow2 scale). numpy.
+    nsl defaults to the CURRENT module NSL_STATIC (resolved at call time so
+    accuracy sweeps that rebind the global actually take effect —
+    tools/diag_slice_tuning.py)."""
+    if nsl is None:
+        nsl = NSL_STATIC
     mx = np.max(np.abs(M))
     s = float(2.0 ** np.ceil(np.log2(mx))) if mx > 0 else 1.0
     r = (M / s).astype(np.float64)
@@ -361,7 +379,7 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool,
     return results
 
 
-def _static_slices_for(M: np.ndarray, nsl: int = NSL_STATIC):
+def _static_slices_for(M: np.ndarray, nsl: int = None):
     """Integer slices of a static real matrix, columns pre-padded to a
     multiple of 64. BIG tables (the partial-iDFT phase matrices, >= 128 KB of
     slices) are built ON DEVICE from a compact f32 (hi, lo) pair parent via
@@ -371,6 +389,8 @@ def _static_slices_for(M: np.ndarray, nsl: int = NSL_STATIC):
     Small tables stay host-built numpy (embedded or lifted, both cheap).
 
     Returns (slices (nsl, K, Mp) [np or jnp], scale [float or traced])."""
+    if nsl is None:
+        nsl = NSL_STATIC   # resolved at call time (sweepable global)
     Mp_ = _pad_cols(np.asarray(M, np.float64), 64)
     if Mp_.size * nsl >= 2 ** 17:
         hi = _intern(Mp_.astype(np.float32))

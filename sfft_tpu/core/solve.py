@@ -398,9 +398,14 @@ def solve_system(
             # f32-assembled system (non-contract fast configs): residuals
             # cannot beat f32 anyway
             x = _refined_solve(A, b)
-        elif A.shape[0] >= 8192:
+        elif A.shape[0] >= 8192 and cfg.regularize_lambda > 0 and cfg.reg_xy:
             # large f64 systems (13k-dof NIRCam): f32 factor + exact-f64
-            # residual refinement reaches the f64 floor (see docstring)
+            # residual refinement reaches the f64 floor (see docstring).
+            # Gated on Tikhonov regularization being ON — that is what keeps
+            # cond(equilibrated) ~1e7 so the f32-factor iteration converges
+            # (cond*eps32 < 1). An unregularized giant system can reach
+            # cond_eq ~3e8 where this iteration stalls, so it takes the
+            # slow-but-unconditional exact route below instead.
             x = _refined_solve_f64(A, b)
         else:
             x = _exact_solve(A, b)

@@ -35,16 +35,40 @@ except ImportError:  # pragma: no cover
     from jax._src.core import eval_jaxpr as _eval_jaxpr
 
 
+# process-level device-resident const cache: the solve and subtract jits of
+# one config share most of their static tables byte-for-byte, so a
+# per-instance cache would upload and hold a duplicate copy on device.
+# Byte-bounded LRU — eviction only drops the cache's reference; compiled
+# executables keep their own refs to the consts they were built with.
+_DEVICE_CONSTS: "OrderedDict[tuple, Any]" = None  # set below
+_DEVICE_CONSTS_BUDGET = 512 * 1024 * 1024
+
+
 def _dedupe_device_put(consts):
-    """device_put each const once per distinct content."""
-    uniq = {}
+    """device_put each const once per distinct content (process-wide)."""
+    global _DEVICE_CONSTS
+    if _DEVICE_CONSTS is None:
+        from collections import OrderedDict as _OD
+
+        _DEVICE_CONSTS = _OD()
+    cache = _DEVICE_CONSTS
+    backend = jax.default_backend()
     out = []
     for c in consts:
         a = np.asarray(c)
-        key = (a.dtype.str, a.shape, hashlib.sha1(a.tobytes()).digest())
-        if key not in uniq:
-            uniq[key] = jax.device_put(c)
-        out.append(uniq[key])
+        key = (backend, a.dtype.str, a.shape,
+               hashlib.sha1(a.tobytes()).digest())
+        got = cache.get(key)
+        if got is None:
+            got = jax.device_put(c)
+            cache[key] = got
+            total = sum(int(v.nbytes) for v in cache.values())
+            while total > _DEVICE_CONSTS_BUDGET and len(cache) > 1:
+                _, ev = cache.popitem(last=False)
+                total -= int(ev.nbytes)
+        else:
+            cache.move_to_end(key)
+        out.append(got)
     return out
 
 
@@ -70,11 +94,22 @@ class ConstArgsJit:
         self._cache: Dict[Any, _Executable] = {}
 
     def _sig(self, args):
-        return tuple((jnp.asarray(a).shape, str(jnp.asarray(a).dtype))
-                     for a in args)
+        # shape/dtype only — never jnp.asarray here (it would eagerly
+        # device-transfer full-size host inputs just to read metadata)
+        out = []
+        for a in args:
+            shape = getattr(a, "shape", None)
+            dtype = getattr(a, "dtype", None)
+            if shape is None or dtype is None:
+                a = np.asarray(a)
+                shape, dtype = a.shape, a.dtype
+            out.append((tuple(shape), str(dtype)))
+        return tuple(out)
 
     def _build(self, args) -> _Executable:
-        closed = jax.make_jaxpr(self._fn)(*args)
+        closed, out_shape = jax.make_jaxpr(
+            self._fn, return_shape=True)(*args)
+        out_tree = jax.tree_util.tree_structure(out_shape)
         # Complex consts cannot ride as runtime arguments: the axon runtime
         # rejects any USE of a device-put complex array with UNIMPLEMENTED
         # (measured 2026-08-17 backend; complex values INSIDE programs are
@@ -92,13 +127,14 @@ class ConstArgsJit:
                 reals.append(a)
         consts = _dedupe_device_put(reals)
         jaxpr = closed.jaxpr
-        n_out = len(jaxpr.outvars)
 
         def run(consts_, *args_):
             cs = [jax.lax.complex(consts_[i], consts_[i + 1]) if cplx
                   else consts_[i] for cplx, i in specs]
             out = _eval_jaxpr(jaxpr, cs, *args_)
-            return out[0] if n_out == 1 else tuple(out)
+            # restore the wrapped function's output pytree (dict/NamedTuple/
+            # nested) — eval_jaxpr returns the flat leaves
+            return jax.tree_util.tree_unflatten(out_tree, out)
 
         # NOTE: compiling with AUTO input layouts (jax.experimental.layout)
         # and pre-placing the consts in the compiler-chosen tiled layouts

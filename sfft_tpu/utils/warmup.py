@@ -52,9 +52,15 @@ class DeviceWarmup:
         self._thread.start()
         return self
 
-    def wait(self, timeout: Optional[float] = None) -> float:
+    def wait(self, timeout: Optional[float] = None) -> Optional[float]:
+        """Join the warm-up thread; returns the attach duration in seconds,
+        or None if `timeout` expired with the attach STILL IN FLIGHT (so a
+        timed-out wait can never be mistaken for a 0-cost attach — the very
+        first-touch mis-measurement this module exists to prevent)."""
         if self._thread is not None:
             self._thread.join(timeout)
+            if self._thread.is_alive():
+                return None
         return self.seconds
 
 

@@ -451,6 +451,11 @@ def test_scheduler_prefetch_overlaps_next_task():
     sched = MultiTaskScheduler(
         4, prep_fn, subtract_fn, NUM_THREADS_4PREPROC=4,
         NUM_THREADS_4SUBTRACT=1, VERBOSE_LEVEL=0, prefetch_fn=prefetch_fn)
+    # complete ALL preps first so the prefetch set is deterministic: with
+    # preps racing the sub worker, a task claimed before any sibling reaches
+    # PREP_OK is (correctly) never prefetched and the count assertion below
+    # would flake (observed on the 1-core host under full-suite load)
+    sched.run_prep_only()
     status, products = sched.run()
     assert all(s == STATUS_OK for s in status.values())
     # every non-first task was prefetched before its subtract started

@@ -197,5 +197,7 @@ def test_device_warmup_background_touch():
 
     wu = start_device_warmup()
     secs = wu.wait(timeout=60.0)
+    assert secs is not None, "warm-up still in flight after 60s (wait() " \
+                             "returns None on timeout, never a fake 0.0)"
     assert wu.error is None
     assert 0.0 <= secs < 60.0
