@@ -258,6 +258,14 @@ def run_mesh_batched(
                 traceback.print_exc()
             status[tid] = STATUS_FAIL
 
+    # two-deep group pipeline: group k+1's sharded H2D (stage) and program
+    # dispatch (launch) are issued BEFORE group k's results are fetched
+    # (collect), so on slow-H2D runtimes (axon tunnel ~47 MB/s) the next
+    # group's upload and compute ride under the current group's blocking
+    # D2H fetch instead of serializing behind it. Residency is bounded to
+    # two groups' inputs + outputs.
+    inflight: List[tuple] = []   # [(cfg, tids, pad, launched_outputs)]
+
     def _dispatch(cfg, tids: List[int]) -> None:
         try:
             stacks = []
@@ -270,10 +278,25 @@ def run_mesh_batched(
             if pad:
                 stacks = [np.concatenate([s, np.repeat(s[-1:], pad, axis=0)])
                           for s in stacks]
+            staged = _stage_group_arrays(stacks, mesh)       # async H2D
             with TimeoutAfter(TIMEOUT_4SUBTRACT_EACHTASK * len(tids)):
-                sols, diffs, _rms = batched_subtract(*stacks, cfg, mesh)
-                sols = np.asarray(sols)
-                diffs = np.asarray(diffs)
+                out = batched_subtract(*staged, cfg, mesh)   # async dispatch
+            inflight.append((cfg, tids, pad, out))
+        except (Exception, TimeoutError_):
+            if VERBOSE_LEVEL >= 1:
+                traceback.print_exc()
+                print("MeLOn WARNING: mesh-batched dispatch failed; "
+                      "falling back to per-task path!")
+            for tid in tids:
+                if status[tid] == STATUS_PREP_OK:
+                    _finish(tid, None)
+
+    def _collect_oldest() -> None:
+        cfg, tids, pad, out = inflight.pop(0)
+        try:
+            with TimeoutAfter(TIMEOUT_4SUBTRACT_EACHTASK * len(tids)):
+                sols = np.asarray(out[0])
+                diffs = np.asarray(out[1])
             if VERBOSE_LEVEL >= 1:
                 print(f"MeLOn CheckPoint: MESH-BATCHED [{len(tids)}] tasks "
                       f"(+{pad} pad) over [{nd}] devices for config "
@@ -283,7 +306,7 @@ def run_mesh_batched(
         except (Exception, TimeoutError_):
             if VERBOSE_LEVEL >= 1:
                 traceback.print_exc()
-                print("MeLOn WARNING: mesh-batched dispatch failed; "
+                print("MeLOn WARNING: mesh-batched collect failed; "
                       "falling back to per-task path!")
             for tid in tids:
                 if status[tid] == STATUS_PREP_OK:
@@ -299,6 +322,8 @@ def run_mesh_batched(
                 del pending[cfg][:nd]
                 _dispatch(cfg, tids)
                 dispatched = True
+                while len(inflight) > 1:   # keep the pipeline two deep
+                    _collect_oldest()
         if not any(t.is_alive() for t in prep_threads):
             break
         if not dispatched:
@@ -313,6 +338,8 @@ def run_mesh_batched(
             _dispatch(cfg, tids)
         else:
             solo.extend(tids)
+    while inflight:
+        _collect_oldest()
     for tid in solo:
         _finish(tid, None)
 
@@ -321,6 +348,20 @@ def run_mesh_batched(
         print(f"MeLOn CheckPoint: MULTI-TASK SUCCESS [{ok} / "
               f"{num_tasks}] in [{time.time()-t0:.1f} s]!")
     return status, products
+
+
+def _stage_group_arrays(stacks, mesh):
+    """Async sharded H2D of one mesh-batch group's four input stacks: each
+    (B, N0, N1) stack is device_put with the batch axis sharded over the
+    mesh's 'data' axis — the same placement batched_subtract's jit constrains
+    to, so the program consumes the buffers without any resharding.
+    device_put returns immediately; the DMA overlaps whatever the host does
+    next (collecting the previous group's results)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    return [jax.device_put(s, sh) for s in stacks]
 
 
 def _prefetch_pair_planes(prep: dict) -> dict:

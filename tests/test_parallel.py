@@ -212,6 +212,59 @@ def test_mesh_batch_streams_groups(monkeypatch):
     assert t[("batch_start", 2)] < t[("prep_end", 4)]
 
 
+def test_mesh_batch_pipelines_collect_behind_next_group(monkeypatch):
+    """The mesh-batch dispatcher is a two-deep pipeline: group k+1's staged
+    H2D + program dispatch must be ISSUED before group k's results are
+    fetched, so on slow-H2D runtimes the next group's upload/compute rides
+    under the current group's blocking D2H instead of serializing after it."""
+    from sfft_tpu.parallel import batch as batch_mod
+    from sfft_tpu.parallel import scheduler as sched_mod
+    from sfft_tpu.parallel.scheduler import run_mesh_batched, STATUS_OK
+    from sfft_tpu.parallel.batch import make_data_mesh
+
+    events = []
+    arr = np.zeros((4, 4))
+    mesh = make_data_mesh(2)
+
+    def prep_fn(tid):
+        return {"tid": tid}
+
+    def group_inputs(prep):
+        return ("cfg0", arr, arr, arr, arr, True)
+
+    def fake_stage(stacks, m):
+        events.append(("stage", stacks[0].shape[0]))
+        return stacks
+
+    launches = [0]
+
+    def fake_batched(I, J, mI, mJ, cfg, m):
+        launches[0] += 1
+        events.append(("launch", launches[0]))
+        B = I.shape[0]
+        return (np.zeros((B, 3)), np.zeros((B, 4, 4)), np.zeros(B))
+
+    def subtract_fn(tid, prep, precomputed=None):
+        events.append(("finish", tid))
+        assert precomputed is not None
+        return tid
+
+    monkeypatch.setattr(sched_mod, "_stage_group_arrays", fake_stage)
+    monkeypatch.setattr(batch_mod, "batched_subtract", fake_batched)
+    status, products = run_mesh_batched(
+        4, prep_fn, subtract_fn, group_inputs,
+        NUM_THREADS_4PREPROC=4, VERBOSE_LEVEL=0, mesh=mesh)
+    assert all(s == STATUS_OK for s in status.values())
+    order = {e: i for i, e in enumerate(events) if e[0] != "stage"}
+    # two groups of 2 were launched, and the SECOND launch was issued
+    # before ANY task of the first group was collected/finished
+    assert launches[0] == 2
+    first_finish = min(i for e, i in order.items() if e[0] == "finish")
+    assert order[("launch", 2)] < first_finish
+    # every task got a precomputed (batched) result
+    assert sorted(products[t]["result"] for t in range(4)) == [0, 1, 2, 3]
+
+
 def test_mesp_mesh_batch(tmp_path, monkeypatch):
     """Homogeneous (shape, config) tasks are dispatched as one sharded array
     program over the device mesh."""
