@@ -1,0 +1,83 @@
+"""Size-curve benchmark: subtraction wall time vs image size, contract + fast.
+
+Reproduces the reference's headline speed plot (docs/sfft_subtract_speed.png,
+SURVEY.md §6: A100 CuPy f64 ~0.085/0.14/0.40/0.95/1.35 s at
+512/1024/2048/3072/4096 squared) on one TPU chip, for both production modes:
+
+  * CONTRACT — exact-grade sliced-int8 pair-FFT engine (f64 parity contract)
+  * FAST     — peeled/fft32/refined mixed-precision mode
+
+Prints one table + one JSON line per size. Run on hardware:
+    python tools/bench_curve.py            # all sizes
+    python tools/bench_curve.py 1024 4096  # subset
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+A100_S = {512: 0.085, 1024: 0.14, 2048: 0.40, 3072: 0.95, 4096: 1.35}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from sfft_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
+    from sfft_tpu.utils.warmup import start_device_warmup
+
+    wu = start_device_warmup()
+    import jax.numpy as jnp
+    from bench import make_pair, build_step
+    from sfft_tpu.config import make_config
+
+    sizes = [int(a) for a in sys.argv[1:]] or [512, 1024, 2048, 3072, 4096]
+    w = 8
+    print(f"platform: {jax.default_backend()}", file=sys.stderr, flush=True)
+    rows = []
+    for n in sizes:
+        I, J = make_pair(n)
+        Id = jax.device_put(jnp.asarray(I))
+        Jd = jax.device_put(jnp.asarray(J))
+        row = {"n": n, "a100_s": A100_S.get(n)}
+        for tag, over in [
+            ("contract", {}),
+            ("fast", dict(greek_backend="peeled", fdiff_backend="fft32",
+                          solver="refined")),
+        ]:
+            cfg = make_config(n, n, w, dtype="float64", greek_chunk=0, **over)
+            fn = build_step(cfg)
+            compiled = fn.lower(Id, Jd).compile()
+            wu.wait()
+            np.asarray(compiled(Id, Jd)[0])   # warm
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(compiled(Id, Jd)[0])
+                ts.append(time.time() - t0)
+            row[f"{tag}_s"] = round(min(ts), 4)
+            print(f"  {n}^2 {tag}: {min(ts)*1000:.1f} ms",
+                  file=sys.stderr, flush=True)
+        if row["a100_s"]:
+            row["contract_vs_a100"] = round(row["a100_s"] / row["contract_s"], 2)
+            row["fast_vs_a100"] = round(row["a100_s"] / row["fast_s"], 2)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    hdr = f"{'size':>6} {'contract':>10} {'fast':>10} {'A100 f64':>10} {'speedup(c)':>11}"
+    print("\n" + hdr, file=sys.stderr)
+    for r in rows:
+        a = f"{r['a100_s']:.3f}s" if r.get("a100_s") else "-"
+        s = f"{r.get('contract_vs_a100', '-')}" if r.get("a100_s") else "-"
+        print(f"{r['n']:>6} {r['contract_s']*1000:>8.0f}ms "
+              f"{r['fast_s']*1000:>8.0f}ms {a:>10} {s:>11}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
