@@ -38,7 +38,7 @@ if os.environ.get("SFFT_NIRCAM_TPU") != "1":
 from sfft_tpu.io import fits
 from sfft_tpu.api.bspline import (
     BSplinePacket, BSplineMatchingKernel, make_bspline_config)
-from sfft_tpu.post.decorrelation import decorrelation_kernel
+from sfft_tpu.post.decorrelation import BSplineDeCorrelation
 from sfft_tpu.post.fftkits import fft_convolve
 from sfft_tpu.post.grid_convolve import BSplineGridConvolve
 from sfft_tpu.post.solution import read_solution_fits
@@ -134,7 +134,9 @@ def run(out_dir: str, GKerHW: int = 11, lambda_reg: float = 3e-5,
     bkgsig_lSCI = SkyLevelEstimator.SLE(lSCI)[1]
 
     def func_decorr(idx):
-        return decorrelation_kernel(
+        # BDC = reference notebook's per-tile decorrelation (with the
+        # default DENO_CLIP_RATIO=1e5 denominator clipping)
+        return BSplineDeCorrelation.BDC(
             MK_JLst=[PSF_REF], SkySig_JLst=[bkgsig_lSCI],
             MK_ILst=[PSF_SCI], SkySig_ILst=[bkgsig_lREF],
             MK_Fin=MKerStack[idx], KERatio=2.0, VERBOSE_LEVEL=0,

@@ -67,12 +67,19 @@ def decorrelation_kernel(
     MK_Fin: Optional[np.ndarray] = None,
     KERatio: float = 2.0,
     VERBOSE_LEVEL: int = 1,
+    DENO_CLIP_RATIO: Optional[float] = None,
 ) -> np.ndarray:
     """Reference DeCorrelation_Calculator.DCC: real-space decorrelation kernel,
     truncated to KERatio x (max matching-kernel size), unit-sum normalized.
 
     Image-stacking mode: no I list (needs >= 2 J kernels). Image-subtraction
-    mode: both lists (+ optional final matching kernel)."""
+    mode: both lists (+ optional final matching kernel).
+
+    DENO_CLIP_RATIO: floor tiny denominator values at max/ratio before the
+    square root — BSpline_DeCorrelation.BDC behavior (the reference's B-spline
+    variant clips at 1e5 by default, sfft/BSplineSFFT.py:4853-4857, because
+    near-zero denominator pixels blow up the whitening kernel on JWST data);
+    the plain DCC reference never clips, hence default None here."""
     NumI, NumJ = len(MK_ILst), len(MK_JLst)
     if NumI == 0:
         if NumJ < 2:
@@ -100,6 +107,16 @@ def decorrelation_kernel(
     deno = decorrelation_denominator(
         MK_JLst, SkySig_JLst, MK_ILst, SkySig_ILst, MK_Fin, N0, N1, np
     )
+    if DENO_CLIP_RATIO is not None:
+        if VERBOSE_LEVEL == 2:
+            print(f"MeLOn CheckPoint: Initial Max/Min "
+                  f"[{np.max(deno)/np.min(deno):.1f}] in Denominator Map")
+        floor = np.max(deno) / DENO_CLIP_RATIO
+        clip_mask = deno < floor
+        deno = np.where(clip_mask, floor, deno)
+        if VERBOSE_LEVEL == 2:
+            print(f"MeLOn CheckPoint: DENOMINATOR CLIPPING TWEAKED "
+                  f"[{clip_mask.mean():.2%}] PIXELS")
     fdeco = np.sqrt(1.0 / deno)
     deco = np.fft.ifft2(fdeco).real
     kdeco, _ = kernel_csz_inv(deco, L0, L1, verbose=VERBOSE_LEVEL == 2)
@@ -155,11 +172,27 @@ def decorrelation_transfer(
 
 
 class DeCorrelationCalculator:
-    """Reference-compatible facade (DCC)."""
+    """Reference-compatible facade (DCC) — no denominator clipping."""
 
     @staticmethod
     def DCC(MK_JLst, SkySig_JLst, MK_ILst=[], SkySig_ILst=[], MK_Fin=None,
             KERatio=2.0, VERBOSE_LEVEL=1):
         return decorrelation_kernel(
             MK_JLst, SkySig_JLst, MK_ILst, SkySig_ILst, MK_Fin, KERatio, VERBOSE_LEVEL
+        )
+
+
+class BSplineDeCorrelation:
+    """Reference-compatible facade (BSpline_DeCorrelation.BDC,
+    sfft/BSplineSFFT.py:4755-4868): same math as DCC plus denominator
+    clipping at max/DENO_CLIP_RATIO (default 1e5, like the reference) so
+    near-zero Fourier denominator pixels cannot blow up the whitening
+    kernel (observed on JWST/NIRCam data)."""
+
+    @staticmethod
+    def BDC(MK_JLst, SkySig_JLst, MK_ILst=[], SkySig_ILst=[], MK_Fin=None,
+            KERatio=2.0, DENO_CLIP_RATIO=100000.0, VERBOSE_LEVEL=1):
+        return decorrelation_kernel(
+            MK_JLst, SkySig_JLst, MK_ILst, SkySig_ILst, MK_Fin, KERatio,
+            VERBOSE_LEVEL, DENO_CLIP_RATIO=DENO_CLIP_RATIO
         )

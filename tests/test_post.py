@@ -101,3 +101,41 @@ def test_grid_convolve_fft_equals_direct():
     out_d = grid_convolve_uniform(img, kers, TiHW, use_fft=False)
     out_f = grid_convolve_uniform(img, kers, TiHW, use_fft=True)
     np.testing.assert_allclose(out_f, out_d, rtol=1e-9, atol=1e-9)
+
+
+def test_bdc_denominator_clipping():
+    """BSplineDeCorrelation.BDC = DCC + denominator clipping at
+    max/DENO_CLIP_RATIO (reference sfft/BSplineSFFT.py:4853-4857). With a
+    near-singular denominator (a kernel whose spectrum has near-zeros) the
+    unclipped whitening kernel blows up; the clipped one stays bounded, and
+    with a huge ratio BDC degenerates to DCC exactly."""
+    from sfft_tpu.post.decorrelation import (BSplineDeCorrelation,
+                                             DeCorrelationCalculator,
+                                             decorrelation_kernel)
+
+    # two-pixel averaging kernel: F = (1 + e^{-i w}) / 2 has an EXACT
+    # spectral zero at Nyquist -> unclipped 1/sqrt(0) = inf -> NaN kernel
+    mk = np.zeros((5, 5))
+    mk[2, 2] = 0.5
+    mk[2, 3] = 0.5
+    kd_dcc = DeCorrelationCalculator.DCC([mk], [1.0], [mk], [1.0],
+                                         MK_Fin=None, VERBOSE_LEVEL=0)
+    kd_bdc = BSplineDeCorrelation.BDC([mk], [1.0], [mk], [1.0],
+                                      MK_Fin=None, DENO_CLIP_RATIO=100.0,
+                                      VERBOSE_LEVEL=0)
+    assert not np.isfinite(kd_dcc).all()   # unclipped blows up
+    assert np.isfinite(kd_bdc).all()       # clipping saves it
+    # on a strictly-positive denominator a huge ratio degenerates to DCC
+    mk2 = np.zeros((5, 5))
+    mk2[2, 2] = 0.9
+    mk2[2, 3] = 0.1
+    kd2_dcc = DeCorrelationCalculator.DCC([mk2], [1.0], [mk2], [1.0],
+                                          MK_Fin=None, VERBOSE_LEVEL=0)
+    kd2_hi = decorrelation_kernel([mk2], [1.0], [mk2], [1.0], MK_Fin=None,
+                                  VERBOSE_LEVEL=0, DENO_CLIP_RATIO=1e300)
+    np.testing.assert_array_equal(kd2_hi, kd2_dcc)
+    # and a small ratio genuinely reshapes the kernel
+    kd2_lo = BSplineDeCorrelation.BDC([mk2], [1.0], [mk2], [1.0],
+                                      MK_Fin=None, DENO_CLIP_RATIO=1.5,
+                                      VERBOSE_LEVEL=0)
+    assert np.max(np.abs(kd2_lo - kd2_dcc)) > 1e-6
