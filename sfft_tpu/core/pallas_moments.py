@@ -106,12 +106,14 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
 
 
 def moments_pallas(W: jnp.ndarray, G: jnp.ndarray, bx: int = 128,
-                   by: int = 2048) -> jnp.ndarray:
+                   by: int = 2048, interpret: bool = False) -> jnp.ndarray:
     """M = W @ G in compensated double-float. W: (S, N0) f64, G: (N0, N1) f64.
 
     Returns f64 (S, N1), accurate to ~1e-14 relative. Arbitrary shapes
     (zero-padded internally to tile multiples); S <= 16 per kernel (larger S
-    is chunked). Traceable under jit; TPU only.
+    is chunked). Traceable under jit; TPU only — except interpret=True,
+    which runs the identical kernel through the Pallas interpreter on any
+    backend (used by the CPU test suite to pin the two-float arithmetic).
 
     Blocking: lax.scan over contraction blocks inside lax.map over lane
     chunks, so the HLO graph contains ONE pallas custom-call per matmul
@@ -122,7 +124,8 @@ def moments_pallas(W: jnp.ndarray, G: jnp.ndarray, bx: int = 128,
     _, N1 = G.shape
     if S > 16:
         return jnp.concatenate(
-            [moments_pallas(W[i : i + 16], G, bx, by) for i in range(0, S, 16)],
+            [moments_pallas(W[i : i + 16], G, bx, by, interpret)
+             for i in range(0, S, 16)],
             axis=0,
         )
     Sp = 16
@@ -142,6 +145,7 @@ def moments_pallas(W: jnp.ndarray, G: jnp.ndarray, bx: int = 128,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
         out_shape=(jax.ShapeDtypeStruct((Sp, by), jnp.float32),) * 2,
+        interpret=interpret,
     )
 
     whb = wh.reshape(nK, bx, Sp)
