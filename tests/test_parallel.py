@@ -524,3 +524,45 @@ def test_scheduler_prefetch_overlaps_next_task():
     # un-prefetched first task still subtracts fine (dev=False result)
     assert sorted(products[t]["result"] for t in range(4)) == [
         False, True, True, True]
+
+
+def test_mecp_real_pipeline(tmp_path):
+    """MultiEasyCrowdedPacket end-to-end with REAL crowded prep + subtract:
+    two synthetic saturated fields through ECP_Prep (super-background,
+    saturation masks) and ECP_Subtract on the per-task scheduler path —
+    the crowded twin of the sparse MESP coverage (reference
+    MultiEasyCrowdedPacket.py:259-717)."""
+    from sfft_tpu.io import fits
+    from sfft_tpu.parallel.scheduler import MultiEasyCrowdedPacket, STATUS_OK
+    from tests.test_prep import synth_field
+
+    refs, scis, diffs = [], [], []
+    for t in range(2):
+        rng = np.random.default_rng(40 + t)
+        ref, _ = synth_field(rng, N0=200, N1=200, nstars=200, fwhm=3.0,
+                             bg=500.0, satur=30000.0)
+        sci = 1.1 * (ref - 500.0) + 520.0 + rng.normal(0, 2.0, ref.shape)
+        sci = np.minimum(sci, 30000.0)
+        hdr = fits.Header()
+        hdr.add("GAIN", 1.0)
+        hdr.add("SATURATE", 30000.0)
+        fits.write(str(tmp_path / f"ref{t}.fits"), ref.T, hdr)
+        fits.write(str(tmp_path / f"sci{t}.fits"), sci.T, hdr)
+        refs.append(str(tmp_path / f"ref{t}.fits"))
+        scis.append(str(tmp_path / f"sci{t}.fits"))
+        diffs.append(str(tmp_path / f"diff{t}.fits"))
+
+    mecp = MultiEasyCrowdedPacket(refs, scis, FITS_DIFF_Queue=diffs,
+                                  ForceConv_Queue=["REF", "REF"],
+                                  GKerHW_Queue=[3, 3])
+    status, products = mecp.MECP(NUM_THREADS_4PREPROC=2,
+                                 NUM_THREADS_4SUBTRACT=1, VERBOSE_LEVEL=0)
+    assert all(s == STATUS_OK for s in status.values())
+    for t in range(2):
+        diff, hdr = fits.read(diffs[t])
+        diff = diff.T
+        ref, _ = fits.read(refs[t])
+        sci, _ = fits.read(scis[t])
+        resid = np.sqrt(np.nanmean(diff**2))
+        raw = np.sqrt(np.nanmean((sci - ref) ** 2))
+        assert resid < 0.3 * raw, f"task {t}: {resid} vs raw {raw}"
