@@ -28,6 +28,10 @@ from sfft_tpu.core.indices import stripe_indices
 
 
 def _host_solve(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Opt-in solver='host': LAPACK f64 LU via pure_callback. Exact, but the
+    system round-trips to the host per call — and host callbacks inside jit
+    are UNSUPPORTED on the axon TPU runtime (CLAUDE.md), so this is a
+    CPU/GPU-backend option only; the on-TPU exact route is solver='exact'."""
     def _np_solve(args):
         a, b = args
         return np.linalg.solve(np.asarray(a), np.asarray(b)).astype(a.dtype)
