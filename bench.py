@@ -508,14 +508,25 @@ def main():
     if platform != "cpu":
         try:
             d1 = bench_warm_start(n, w, log, tag="contract start 1")
-            d2 = bench_warm_start(n, w, log, tag="contract warm")
-            extra_ws = {
-                "contract_start1_total_s": d1["total_s"],
+            extra_ws = {"contract_start1_total_s": d1["total_s"]}
+            # guard the total warm-start budget: a pathological session
+            # attach (worst observed 1388 s) on start 1 means start 2 could
+            # eat the driver's whole bench window — skip it and keep start
+            # 1's decomposition as the (marked) warm numbers
+            if d1["total_s"] <= 1200:
+                d2 = bench_warm_start(n, w, log, tag="contract warm")
+            else:
+                d2 = dict(d1, degraded_attach=True)
+                log("warm-start 2 skipped: start 1 exceeded 1200s "
+                    "(attach-degraded runtime); reporting start 1's "
+                    "decomposition as the warm numbers")
+                extra_ws["contract_warm_degraded_attach"] = True
+            extra_ws.update({
                 "contract_warm_total_s": d2["total_s"],
                 "contract_warm_first_exec_s": d2["first_exec_s"],
                 "contract_warm_attach_s": d2["attach_s"],
                 "contract_warm_framework_s": d2["framework_s"],
-            }
+            })
         except Exception as exc:
             log(f"warm-start bench skipped: {exc}")
         # the parent pays its own session attach; overlap it with pair
