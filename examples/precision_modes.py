@@ -8,7 +8,7 @@ FFT at all — and also offers an explicitly mixed-precision fast mode:
       - tables/spectra via the sliced-integer pair-FFT engine (~1e-14)
       - blocked Cholesky with exact-f64 contractions + residual refinement
       - difference built in pair arithmetic end-to-end
-      - 4K^2 pair ~1.0-1.3 s on one v5e (A100 CuPy f64 reference: ~1.35 s)
+      - 4K^2 pair ~0.89 s on one v5e (A100 CuPy f64 reference: ~1.35 s)
   * FAST (opt-in): greek='peeled', fdiff='fft32', solver='refined'
       - smooth/fluctuation peel: exact moments + c64 FFT fluctuations
       - ~210 ms per 4K^2 pair; solution deviation up to ~7e-3 max-rel on
