@@ -139,3 +139,32 @@ def test_bdc_denominator_clipping():
                                       MK_Fin=None, DENO_CLIP_RATIO=1.5,
                                       VERBOSE_LEVEL=0)
     assert np.max(np.abs(kd2_lo - kd2_dcc)) > 1e-6
+
+
+def test_decorrelation_transfer_pcdc_semantics():
+    """decorrelation_transfer = reference PCDC: Fourier map normalized to
+    F[0,0] = 1, or a truncated unit-sum real kernel; REAL_OUTPUT at the same
+    trivial image size must agree with decorrelation_kernel's result."""
+    from sfft_tpu.post.decorrelation import (decorrelation_kernel,
+                                             decorrelation_transfer)
+
+    mk = np.zeros((5, 5))
+    mk[2, 2] = 0.8
+    mk[1, 2] = mk[3, 2] = 0.1
+    # Fourier map: normalized at DC
+    fmap = decorrelation_transfer(32, 32, [mk], [1.3], [mk], [0.7],
+                                  MATCH_KERNEL=mk, REAL_OUTPUT=False,
+                                  NORMALIZE_OUTPUT=True, VERBOSE_LEVEL=0)
+    fmap = np.asarray(fmap)
+    assert fmap.shape == (32, 32)
+    assert abs(fmap[0, 0] - 1.0) < 1e-12
+    assert np.all(fmap > 0)
+    # real output at the kernel's own trivial image size == DCC kernel
+    # (decorrelation_kernel picks N0 = N1 = 2^(ceil(log2(5)) + 1) = 16)
+    kd_ref = decorrelation_kernel([mk], [1.3], [mk], [0.7], MK_Fin=mk,
+                                  KERatio=2.0, VERBOSE_LEVEL=0)
+    kd_tr = decorrelation_transfer(16, 16, [mk], [1.3], [mk], [0.7],
+                                   MATCH_KERNEL=mk, REAL_OUTPUT=True,
+                                   REAL_OUTPUT_SIZE=kd_ref.shape,
+                                   NORMALIZE_OUTPUT=True, VERBOSE_LEVEL=0)
+    np.testing.assert_allclose(np.asarray(kd_tr), kd_ref, rtol=1e-12)
