@@ -188,3 +188,21 @@ def test_forceconv_sci_sign_and_nan(rng):
     mask = ~np.isnan(d1)
     np.testing.assert_array_equal(np.isnan(d1), np.isnan(d2))
     np.testing.assert_allclose(d1[mask], -d2[mask], rtol=0, atol=0)
+
+
+def test_gss_same_pair_fused_path_matches_two_program_path(rng):
+    """GSS with PixA_I is PixA_mI (masked == unmasked, same objects) takes
+    the fused same-pair jit (shared plane spectra in the exact backends);
+    it must return exactly what the generic two-program path returns for
+    equal-valued but distinct arrays."""
+    from sfft_tpu.core.engine import GeneralSFFT
+
+    I, J = make_pair(rng, N0=48, N1=48)
+    cfg = base_cfg(N0=48, N1=48, w=1)
+    sol_fused, diff_fused, contam = GeneralSFFT.GSS(I, J, I, J, cfg)
+    assert contam is None
+    sol_ref, diff_ref, _ = GeneralSFFT.GSS(I, J, I.copy(), J.copy(), cfg)
+    np.testing.assert_allclose(np.asarray(sol_fused), np.asarray(sol_ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(diff_fused), np.asarray(diff_ref),
+                               rtol=1e-9, atol=1e-11)
