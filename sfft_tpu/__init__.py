@@ -60,6 +60,10 @@ def __getattr__(name):
         from sfft_tpu.parallel.scheduler import MultiEasyCrowdedPacket
 
         return MultiEasyCrowdedPacket
+    if name in ("EngineClient", "EngineServer", "ensure_server"):
+        import sfft_tpu.serve as _serve
+
+        return getattr(_serve, name)
     raise AttributeError(name)
 
 
@@ -77,4 +81,7 @@ __all__ = [
     "BSplinePacket",
     "MultiEasySparsePacket",
     "MultiEasyCrowdedPacket",
+    "EngineClient",
+    "EngineServer",
+    "ensure_server",
 ]

@@ -196,10 +196,17 @@ def make_config(
     ConstPhotRatio) (reference: sfft/sfftcore/SFFTConfigure.py:1369-1397), with
     backend knobs defaulting per platform capability.
     """
-    import jax
+    if greek_backend is None or fdiff_backend is None or solver is None:
+        # resolving platform defaults is the ONLY reason to touch the
+        # backend here; with all three knobs explicit this function stays
+        # backend-free (so attach-free — server clients and outage-safe
+        # tools rely on that)
+        import jax
 
-    platform = jax.default_backend()
-    on_tpu = platform not in ("cpu", "gpu")
+        platform = jax.default_backend()
+        on_tpu = platform not in ("cpu", "gpu")
+    else:
+        on_tpu = False
     if greek_backend is None:
         # complex128 FFT does not compile on TPU. Default = the CONTRACT mode
         # (the reference computes everything in f64): exact-grade tables via
