@@ -117,8 +117,13 @@ def decorrelation_kernel(
         if VERBOSE_LEVEL == 2:
             print(f"MeLOn CheckPoint: DENOMINATOR CLIPPING TWEAKED "
                   f"[{clip_mask.mean():.2%}] PIXELS")
-    fdeco = np.sqrt(1.0 / deno)
-    deco = np.fft.ifft2(fdeco).real
+    # with clipping disabled (DENO_CLIP_RATIO=None) spectral zeros in the
+    # denominator legitimately propagate inf/NaN into the kernel — that IS
+    # the documented failure mode the clipping exists to prevent
+    # (reference default DENO_CLIP_RATIO=1e5); don't warn about it
+    with np.errstate(divide="ignore", invalid="ignore"):
+        fdeco = np.sqrt(1.0 / deno)
+        deco = np.fft.ifft2(fdeco).real
     kdeco, _ = kernel_csz_inv(deco, L0, L1, verbose=VERBOSE_LEVEL == 2)
     return kdeco / np.sum(kdeco)
 
