@@ -19,6 +19,7 @@ vs_baseline > 1.0 means faster than the A100 reference at full precision.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -119,7 +120,8 @@ def cpu_oracle(cfg_w, n, I_np, J_np, log):
     key = hashlib.sha256(
         I_np.tobytes() + J_np.tobytes() + repr(cfg_cpu).encode()
     ).hexdigest()[:16]
-    cache = f"/tmp/sfft_bench_oracle_{key}.npz"
+    from sfft_tpu.utils.cache import persistent_cache_dir
+    cache = os.path.join(persistent_cache_dir("oracles"), f"oracle_{key}.npz")
     t0 = time.time()
     try:
         z = np.load(cache)
@@ -402,7 +404,9 @@ def bench_bspline(log):
             np.ascontiguousarray(ref).tobytes()
             + np.ascontiguousarray(sci).tobytes()
             + repr(cfg_cpu).encode()).hexdigest()[:16]
-        cache = f"/tmp/sfft_bench_nircam_oracle_{key}.npz"
+        from sfft_tpu.utils.cache import persistent_cache_dir
+        cache = os.path.join(
+            persistent_cache_dir("oracles"), f"nircam_oracle_{key}.npz")
         try:
             z = np.load(cache)
             sol_cpu, diff_cpu = z["sol"], z["diff"]

@@ -15,11 +15,39 @@ import hashlib
 import os
 
 
-def setup_compile_cache(base: str = "/tmp/sfft_tpu_jit_cache") -> str:
+def persistent_cache_dir(sub: str = "") -> str:
+    """A cache directory that SURVIVES sessions.
+
+    /tmp is wiped between sessions on this host (observed 2026-08-18), which
+    made every new session pay a ~100+ s cold jit compile and minutes of CPU
+    oracle regeneration. $HOME does persist (git history / memory dirs prove
+    it), so the default cache home is ~/.cache/sfft_tpu, overridable with
+    SFFT_TPU_CACHE_DIR. Falls back to /tmp only if the home is unwritable.
+    """
+    base = os.environ.get("SFFT_TPU_CACHE_DIR")
+    if not base:
+        base = os.path.join(os.path.expanduser("~"), ".cache", "sfft_tpu")
+    path = os.path.join(base, sub) if sub else base
+    try:
+        os.makedirs(path, exist_ok=True)
+        probe = os.path.join(path, ".probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+    except OSError:
+        path = os.path.join("/tmp", "sfft_tpu_cache", sub)
+        os.makedirs(path, exist_ok=True)
+    return path
+
+
+def setup_compile_cache(base: str | None = None) -> str:
     """Point jax's persistent compilation cache at a backend-version-keyed
     subdirectory of `base`. Call after `import jax` (and after any
     jax.config platform selection), before the first compile."""
     import jax
+
+    if base is None:
+        base = persistent_cache_dir("jit_cache")
 
     try:
         from jax._src import xla_bridge
