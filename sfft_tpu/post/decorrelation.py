@@ -120,8 +120,12 @@ def decorrelation_kernel(
     # with clipping disabled (DENO_CLIP_RATIO=None) spectral zeros in the
     # denominator legitimately propagate inf/NaN into the kernel — that IS
     # the documented failure mode the clipping exists to prevent
-    # (reference default DENO_CLIP_RATIO=1e5); don't warn about it
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # (reference default DENO_CLIP_RATIO=1e5); don't warn about it. With
+    # clipping ON the denominator is floored strictly positive, so any
+    # divide/invalid there would signal NaN-contaminated input kernels —
+    # keep the warning live in that branch.
+    with np.errstate(**(dict(divide="ignore", invalid="ignore")
+                        if DENO_CLIP_RATIO is None else {})):
         fdeco = np.sqrt(1.0 / deno)
         deco = np.fft.ifft2(fdeco).real
     kdeco, _ = kernel_csz_inv(deco, L0, L1, verbose=VERBOSE_LEVEL == 2)
@@ -156,7 +160,14 @@ def decorrelation_transfer(
     if DENO_CLIP_RATIO is not None:
         floor = xp.max(deno) / DENO_CLIP_RATIO
         deno = xp.where(deno < floor, floor, deno)
-    fdeco = 1.0 / xp.sqrt(deno)
+    # same unclipped spectral-zero failure mode as decorrelation_kernel:
+    # suppress the expected divide/invalid warning only for the numpy path
+    # with clipping off (jax doesn't emit numpy warnings inside jit anyway)
+    if xp is np and DENO_CLIP_RATIO is None:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fdeco = 1.0 / np.sqrt(deno)
+    else:
+        fdeco = 1.0 / xp.sqrt(deno)
 
     if not REAL_OUTPUT:
         if NORMALIZE_OUTPUT:
