@@ -40,8 +40,13 @@ def _plane_stacks(cfg: SFFTConfig, I: jnp.ndarray, dtype=None):
     return SI, ST, SSc
 
 
-def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
-                shared=None) -> jnp.ndarray:
+def _normal_equations_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
+                           shared=None):
+    """Assemble the (NEQ, NEQ) normal-equation matrix and RHS vector for a
+    masked pair — everything `_solve_impl` does short of the solve. Exposed
+    (via `normal_equations_fn`) so the benchmark can compute residual
+    certificates ||LH.x - RH|| of candidate solutions on one shared f64
+    table set (reference LHMAT/RHb, sfft/sfftcore/SFFTSubtract.py:224-383)."""
     from sfft_tpu.core.assemble import entangled_tables, GreekTables
 
     dt = jnp.dtype(cfg.dtype)
@@ -114,8 +119,22 @@ def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
     # standalone dense apply needed (Fijab, Fijab)-scale HLO temps and OOMed
     # the chip at 13k dof
     reg = regularization_terms(cfg)
-    lhs, rhs = assemble_system(cfg, tables, out_dtype=out_dtype,
-                               reg_terms=reg)
+    return assemble_system(cfg, tables, out_dtype=out_dtype, reg_terms=reg)
+
+
+def normal_equations_fn(cfg: SFFTConfig):
+    """Jittable (mI, mJ) -> (lhs, rhs) for residual certification."""
+
+    def tables(mI, mJ):
+        return _normal_equations_impl(cfg, mI, mJ)
+
+    return tables
+
+
+def _solve_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
+                shared=None) -> jnp.ndarray:
+    dt = jnp.dtype(cfg.dtype)
+    lhs, rhs = _normal_equations_impl(cfg, mI, mJ, shared=shared)
     return solve_system(cfg, lhs, rhs).astype(dt)
 
 
