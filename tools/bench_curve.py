@@ -20,7 +20,8 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-A100_S = {512: 0.085, 1024: 0.14, 2048: 0.40, 3072: 0.95, 4096: 1.35}
+A100_S = {512: 0.085, 1024: 0.14, 1536: 0.23, 2048: 0.40, 2560: 0.62,
+          3072: 0.95, 3584: 1.15, 4096: 1.35}
 
 
 def main():
@@ -37,7 +38,8 @@ def main():
     from bench import make_pair, build_step
     from sfft_tpu.config import make_config
 
-    sizes = [int(a) for a in sys.argv[1:]] or [512, 1024, 2048, 3072, 4096]
+    sizes = [int(a) for a in sys.argv[1:]] or [512, 1024, 1536, 2048, 2560,
+                                               3072, 3584, 4096]
     w = 8
     print(f"platform: {jax.default_backend()}", file=sys.stderr, flush=True)
     rows = []
