@@ -725,6 +725,18 @@ def main():
         extra["fast_s"] = round(t_fast, 4)
     except Exception as exc:
         log(f"fast mode skipped: {exc}")
+    # the middle mode (VERDICT r3 next #5): contract-grade solution + fft32
+    # difference (config.TPU_MODES['balanced'])
+    comp_b = None
+    if platform != "cpu":
+        try:
+            cfg_bal = make_config(n, n, w, dtype="float64", greek_chunk=0,
+                                  mode="balanced")
+            fn_b = build_step(cfg_bal)
+            t_bal, comp_b, _ = time_mode("balanced", fn_b, Id, Jd, log)
+            extra["balanced_s"] = round(t_bal, 4)
+        except Exception as exc:
+            log(f"balanced mode skipped: {exc}")
     if comp_f is not None:
         try:
             thr, h2d = bench_throughput(comp_f, Id, Jd, log)
@@ -760,6 +772,11 @@ def main():
                     "fast", comp_f, Id, Jd, sol_cpu, diff_cpu, log)
                 extra["fast_sol_max_rel_err"] = float(f"{sf:.3e}")
                 extra["fast_diff_rms_err"] = float(f"{rf:.3e}")
+            if comp_b is not None:
+                sb, rb, _ = parity(
+                    "balanced", comp_b, Id, Jd, sol_cpu, diff_cpu, log)
+                extra["balanced_sol_max_rel_err"] = float(f"{sb:.3e}")
+                extra["balanced_diff_rms_err"] = float(f"{rb:.3e}")
         except Exception as exc:
             log(f"parity bench skipped: {exc}")
         try:

@@ -176,6 +176,30 @@ class SFFTConfig:
             raise ValueError("image too small for the requested kernel half-width")
 
 
+# Named TPU precision/speed modes (documented in DESIGN.md). Measured at the
+# 4K bench pair (cond_eq ~3e8, the adversarial case):
+#   contract — f64 parity contract end to end: exact-grade sliced-int8 tables,
+#              exact blocked-Cholesky solve, exact pair-arithmetic difference.
+#              ~894 ms/4K; sol 5.7e-6 / diff RMS 2.5e-6 vs the CPU f64 oracle
+#              (the measured f64 band at that conditioning).
+#   balanced — contract-grade SOLUTION (exact tables + exact solve), fft32
+#              difference construction: for pipelines that consume the kernel
+#              / flux-scaling solution at full accuracy but tolerate the
+#              f32-FFT difference floor (measured 2.4e-4 diff RMS).
+#   fast     — peeled greek + fft32 fdiff + f32-LU/CG solve. ~219 ms/4K;
+#              sol ~7e-3 on ill-conditioned systems (c64 FFT table floor
+#              amplified), diff ~3e-2; appropriate for well-conditioned /
+#              regularized systems and throughput surveys.
+TPU_MODES = {
+    "contract": dict(greek_backend="exact", fdiff_backend="exact",
+                     solver="exact"),
+    "balanced": dict(greek_backend="exact", fdiff_backend="fft32",
+                     solver="exact"),
+    "fast": dict(greek_backend="peeled", fdiff_backend="fft32",
+                 solver="refined"),
+}
+
+
 @lru_cache(maxsize=128)
 def make_config(
     NX: int,
@@ -189,13 +213,30 @@ def make_config(
     fdiff_backend: Optional[str] = None,
     solver: Optional[str] = None,
     greek_chunk: int = 0,
+    mode: Optional[str] = None,
 ) -> SFFTConfig:
     """Reference-parameter-compatible constructor.
 
     Mirrors SingleSFFTConfigure.SSC(NX, NY, KerHW, KerPolyOrder, BGPolyOrder,
     ConstPhotRatio) (reference: sfft/sfftcore/SFFTConfigure.py:1369-1397), with
     backend knobs defaulting per platform capability.
+
+    `mode` ('contract' | 'balanced' | 'fast', see TPU_MODES) fills any knob
+    not set explicitly; on CPU/GPU the platform defaults (f64 FFT + LU — the
+    parity-oracle path) win regardless, since every mode distinction is about
+    TPU primitive availability.
     """
+    if mode is not None:
+        if mode not in TPU_MODES:
+            raise ValueError(f"unknown mode {mode!r}; pick from "
+                             f"{sorted(TPU_MODES)}")
+        import jax
+
+        if jax.default_backend() not in ("cpu", "gpu") and dtype == "float64":
+            sel = TPU_MODES[mode]
+            greek_backend = greek_backend or sel["greek_backend"]
+            fdiff_backend = fdiff_backend or sel["fdiff_backend"]
+            solver = solver or sel["solver"]
     if greek_backend is None or fdiff_backend is None or solver is None:
         # resolving platform defaults is the ONLY reason to touch the
         # backend here; with all three knobs explicit this function stays

@@ -206,3 +206,31 @@ def test_gss_same_pair_fused_path_matches_two_program_path(rng):
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(diff_fused), np.asarray(diff_ref),
                                rtol=1e-9, atol=1e-11)
+
+
+def test_mode_resolution_and_balanced_backend(rng):
+    """config.TPU_MODES named modes: on CPU the platform defaults win (f64
+    FFT + LU parity-oracle path); an unknown mode raises; and the balanced
+    backend triple (exact greek + exact solve + fft32 fdiff) runs on CPU with
+    a contract-grade solution and an fft32-floor difference."""
+    from sfft_tpu.config import make_config, TPU_MODES
+
+    assert set(TPU_MODES) == {"contract", "balanced", "fast"}
+    cfg = make_config(24, 20, 1, mode="balanced")
+    assert (cfg.greek_backend, cfg.fdiff_backend, cfg.solver) == \
+        ("fft", "fft", "lu")
+    with pytest.raises(ValueError):
+        make_config(24, 20, 1, mode="speedy")
+
+    I, J = make_pair(rng)
+    cfg_bal = base_cfg(greek_backend="exact", fdiff_backend="fft32",
+                       solver="exact")
+    cfg_ref = base_cfg(greek_backend="fft", fdiff_backend="fft", solver="lu")
+    sol_b, d_b = ElementalSFFT.ESS(I, J, cfg_bal, Subtract=True)
+    sol_r, d_r = ElementalSFFT.ESS(I, J, cfg_ref, Subtract=True)
+    s_b, s_r = np.asarray(sol_b), np.asarray(sol_r)
+    # solution: exact tables + exact solve = contract grade
+    assert np.allclose(s_b, s_r, rtol=1e-6, atol=1e-8 * np.abs(s_r).max())
+    # difference: fft32 construction floor (~1e-4 relative)
+    d_ba, d_ra = np.asarray(d_b), np.asarray(d_r)
+    assert np.allclose(d_ba, d_ra, atol=5e-4 * np.abs(d_ra).max())
