@@ -44,8 +44,60 @@ def _host_solve(lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def sliced_exact_dot(A: jnp.ndarray, B: jnp.ndarray = None,
+                     nsl: int = 9, kmax: int = 8) -> jnp.ndarray:
+    """f64-grade matmul of RUNTIME f64 operands via Ozaki int8 slicing.
+
+    A (m, k) @ B (k, n) -> (m, n) f64. B=None computes the symmetric A @ A.T
+    (SYRK) reusing one slicing of A. Each operand rides as an f32 (hi, lo)
+    pair split into `nsl` 6-bit integer slices with per-row power-of-2 scales
+    (exact_fft._slice_pair_real); slice products with i + j <= kmax
+    accumulate EXACTLY in int32 on the MXU and recombine through the
+    compensated f32 chain -> ~2^-48-relative output, 5+ orders better than
+    XLA's fast f64 emulation (~1e-7) at int8 speed instead of the ~0.03 TF
+    exact slow route. Used for the trailing updates of the blocked Cholesky
+    (the n^3 part of the contract solve); the refinement iterations absorb
+    the 2^-48-vs-2^-53 factor-grade gap exactly as they absorb the library
+    panel factorizations (see _blocked_cholesky).
+
+    Accumulation-depth bound: |slice| <= 2^6 so |prod| <= 2^12; one dot sums
+    k <= 2^19 - safe terms in int32 and the per-group dot-sum is split into
+    exact f32 parts by _accum(big=True) before the chain."""
+    from sfft_tpu.core.exact_fft import _accum, _slice_pair_real
+
+    syrk = B is None
+    Ah = A.astype(jnp.float32)
+    Al = (A - Ah.astype(A.dtype)).astype(jnp.float32)
+    Asl, sa = _slice_pair_real(Ah, Al, nsl, rowwise=True)   # (nsl,m,k),(m,1)
+    if syrk:
+        Bsl, sbT = Asl, sa                                   # rows of A == cols of A.T
+    else:
+        Bt = B.T
+        Bh = Bt.astype(jnp.float32)
+        Bl = (Bt - Bh.astype(B.dtype)).astype(jnp.float32)
+        Bsl, sbT = _slice_pair_real(Bh, Bl, nsl, rowwise=True)  # (nsl,n,k),(n,1)
+
+    i8 = lambda x: x.astype(jnp.int8)
+    groups, weights = [], []
+    for s in range(min(kmax, 2 * nsl - 2) + 1):
+        combos = [(i, s - i) for i in range(max(0, s - nsl + 1),
+                                            min(nsl - 1, s) + 1)]
+        acc = None
+        for i, j in combos:
+            d = jax.lax.dot_general(
+                i8(Asl[i]), i8(Bsl[j]),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = d if acc is None else acc + d
+        groups.append(acc)
+        weights.append(2.0 ** (-6 * (s + 2)))
+    h, l = _accum(groups, weights, np.float32(1.0), big=True)
+    out = h.astype(A.dtype) + l.astype(A.dtype)
+    return out * sa.astype(A.dtype) * sbT.astype(A.dtype).T
+
+
 def _blocked_cholesky(A: jnp.ndarray, nb: int = 256,
-                      precision=None) -> jnp.ndarray:
+                      precision=None, trailing: str = "dot") -> jnp.ndarray:
     """Lower Cholesky factor via right-looking blocked algorithm.
 
     Panel factorization and triangular solves stay small (nb x nb); the trailing
@@ -53,6 +105,8 @@ def _blocked_cholesky(A: jnp.ndarray, nb: int = 256,
     precision=HIGHEST forces the exact (slow) f64 dot route for every
     contraction — required when the factor feeds the f64 solution contract
     (the fast f64 emulation is ~1e-7 and gets amplified by conditioning).
+    trailing='sliced' replaces the trailing-update dots with the Ozaki int8
+    SYRK (sliced_exact_dot) — same f64 factor grade, int8-MXU speed.
     """
     n = A.shape[0]
     nblk = -(-n // nb)
@@ -99,7 +153,14 @@ def _blocked_cholesky(A: jnp.ndarray, nb: int = 256,
         L = L.at[s : s + nb, s : s + nb].set(Lkk)
         if below.shape[0]:
             L = L.at[s + nb :, s : s + nb].set(Lbk)
-            upd = jnp.dot(Lbk, Lbk.T, precision=precision)
+            if trailing == "sliced":
+                # Ozaki int8 SYRK: f64-grade trailing update at int8-MXU
+                # speed instead of the ~0.03 TF exact f64 slow route (the
+                # n^3 bulk of the contract solve); refinement absorbs the
+                # 2^-48-vs-2^-53 factor-grade gap (see sliced_exact_dot)
+                upd = sliced_exact_dot(Lbk)
+            else:
+                upd = jnp.dot(Lbk, Lbk.T, precision=precision)
             Acur = Acur.at[s + nb :, s + nb :].add(-upd)
     return L[:n, :n]
 
@@ -197,7 +258,10 @@ def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     As = A * d[:, None] * d[None, :]
     bs = b * d
     hp = jax.lax.Precision.HIGHEST
-    L = _blocked_cholesky(As, precision=hp)
+    # sliced int8 trailing updates on TPU (CPU/GPU have real f64 dots)
+    trailing = ("sliced"
+                if jax.default_backend() not in ("cpu", "gpu") else "dot")
+    L = _blocked_cholesky(As, precision=hp, trailing=trailing)
     Linv = _diag_block_inverses(L)
 
     def solve_tri(r):

@@ -234,3 +234,28 @@ def test_mode_resolution_and_balanced_backend(rng):
     # difference: fft32 construction floor (~1e-4 relative)
     d_ba, d_ra = np.asarray(d_b), np.asarray(d_r)
     assert np.allclose(d_ba, d_ra, atol=5e-4 * np.abs(d_ra).max())
+
+
+def test_sliced_cholesky_trailing_matches_dot():
+    """sliced_exact_dot-based trailing updates must give a factor of the same
+    f64 grade as the HIGHEST-precision dot route (the TPU contract solver's
+    n^3 stage rides this, core/solve.py:_blocked_cholesky)."""
+    import jax
+    import jax.numpy as jnp
+    from sfft_tpu.core.solve import _blocked_cholesky, sliced_exact_dot
+
+    rng = np.random.default_rng(3)
+    n = 700
+    G = rng.normal(size=(n, n)) * np.exp(rng.normal(size=(1, n)))
+    A = G.T @ G + n * np.eye(n)
+    d = 1.0 / np.sqrt(np.diag(A))
+    As = jnp.asarray(A * d[:, None] * d[None, :])
+    hp = jax.lax.Precision.HIGHEST
+    L_dot = np.asarray(jax.jit(
+        lambda M: _blocked_cholesky(M, precision=hp))(As))
+    L_sl = np.asarray(jax.jit(
+        lambda M: _blocked_cholesky(M, precision=hp, trailing="sliced"))(As))
+    assert np.max(np.abs(L_sl - L_dot)) < 1e-12
+    # and the factor actually reproduces the matrix
+    rec = L_sl @ L_sl.T
+    assert np.max(np.abs(rec - np.asarray(As))) < 1e-12
