@@ -66,6 +66,17 @@ def main():
     timeit("factor nb=512", jax.jit(
         lambda A, b: sv._blocked_cholesky(eq(A, b)[0], nb=512,
                                           precision=hp).sum()), Ad, bd)
+    timeit("factor nb=256 SLICED", jax.jit(
+        lambda A, b: sv._blocked_cholesky(eq(A, b)[0], nb=256, precision=hp,
+                                          trailing="sliced").sum()), Ad, bd)
+    timeit("factor nb=512 SLICED", jax.jit(
+        lambda A, b: sv._blocked_cholesky(eq(A, b)[0], nb=512, precision=hp,
+                                          trailing="sliced").sum()), Ad, bd)
+    timeit("sliced syrk 1484", jax.jit(
+        lambda A, b: sv.sliced_exact_dot(A[:1484, :256]).sum()), Ad, bd)
+    timeit("HIGHEST syrk 1484", jax.jit(
+        lambda A, b: jnp.dot(A[:1484, :256], A[:1484, :256].T,
+                             precision=hp).sum()), Ad, bd)
 
     def fsolve(A, b, nb):
         As, bs, d = eq(A, b)
