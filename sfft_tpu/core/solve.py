@@ -243,6 +243,36 @@ def _blocked_trisolve_inv(L: jnp.ndarray, Linv: jnp.ndarray, b: jnp.ndarray,
     return x
 
 
+def _tri_inverse_blocked(L: jnp.ndarray, Dinv: jnp.ndarray,
+                         nb: int = 256) -> jnp.ndarray:
+    """Explicit inverse of lower-triangular L via blocked substitution with
+    sliced exact GEMMs for the off-diagonal work.
+
+    X[i,i] = Dinv_i;  X[i, :i] = -Dinv_i @ (L[i, :i] @ X[:i, :i])
+    sequential over row blocks (one sliced GEMM each, ~n^3/3 total on the
+    int8 MXU). With X = L^-1 in hand, every triangular solve in the exact
+    solver becomes two HIGHEST-precision f64 MATVECs (~0.2 ms at NEQ=1740)
+    instead of a chain of 2*nblk sequential panel dispatches (~44 ms per
+    refinement pass measured in r3) — the refinement latency disappears.
+    Error ~ cond(L) * 2^-48 = sqrt(cond_eq) grade, absorbed by the exact-
+    residual refinement exactly like the library panel factorizations."""
+    n = L.shape[0]
+    nblk = -(-n // nb)
+    npad = nblk * nb
+    Lp = jnp.zeros((npad, npad), L.dtype).at[:n, :n].set(L)
+    Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    X = jnp.zeros((npad, npad), L.dtype)
+    X = X.at[:nb, :nb].set(Dinv[0][: nb, : nb])
+    for i in range(1, nblk):
+        s = i * nb
+        # (nb, s) = L-row-block @ X[:s, :s]
+        prod = sliced_exact_dot(Lp[s : s + nb, :s], X[:s, :s])
+        row = -jnp.dot(Dinv[i], prod, precision=jax.lax.Precision.HIGHEST)
+        X = X.at[s : s + nb, :s].set(row)
+        X = X.at[s : s + nb, s : s + nb].set(Dinv[i])
+    return X[:n, :n]
+
+
 def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     """f64-contract solve on TPU: Jacobi equilibration + blocked Cholesky with
     HIGHEST-precision (exact, slow-route) f64 contractions + exact-residual
@@ -258,15 +288,24 @@ def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     As = A * d[:, None] * d[None, :]
     bs = b * d
     hp = jax.lax.Precision.HIGHEST
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
     # sliced int8 trailing updates on TPU (CPU/GPU have real f64 dots)
-    trailing = ("sliced"
-                if jax.default_backend() not in ("cpu", "gpu") else "dot")
-    L = _blocked_cholesky(As, precision=hp, trailing=trailing)
-    Linv = _diag_block_inverses(L)
+    L = _blocked_cholesky(As, precision=hp,
+                          trailing="sliced" if on_tpu else "dot")
+    Dinv = _diag_block_inverses(L)
 
-    def solve_tri(r):
-        y = _blocked_trisolve_inv(L, Linv, r, lower=True)
-        return _blocked_trisolve_inv(L, Linv, y, lower=False)
+    if on_tpu:
+        # full L^-1 (sliced GEMMs): substitution passes collapse to two
+        # HIGHEST matvecs each — removes the ~44 ms/pass panel-chain latency
+        Li = _tri_inverse_blocked(L, Dinv)
+
+        def solve_tri(r):
+            return jnp.dot(Li.T, jnp.dot(Li, r, precision=hp), precision=hp)
+    else:
+
+        def solve_tri(r):
+            y = _blocked_trisolve_inv(L, Dinv, r, lower=True)
+            return _blocked_trisolve_inv(L, Dinv, y, lower=False)
 
     x = solve_tri(bs)
     bnorm = jnp.linalg.norm(bs)
