@@ -346,11 +346,26 @@ def _refined_solve_f64(A: jnp.ndarray, b: jnp.ndarray,
     hp = jax.lax.Precision.HIGHEST
     L32 = jnp.linalg.cholesky(As.astype(jnp.float32))
 
-    def f32_solve(r):
-        y = jax.scipy.linalg.solve_triangular(L32, r.astype(jnp.float32),
-                                              lower=True)
-        return jax.scipy.linalg.solve_triangular(
-            L32.T, y, lower=False).astype(b.dtype)
+    if jax.default_backend() not in ("cpu", "gpu"):
+        # explicit L^-1 (ONE batched triangular solve against I, MXU-bound):
+        # each refinement application becomes two f32 MATVECs instead of two
+        # big library triangular solves whose serial panel chains dominated
+        # the 13k-dof solve latency. Same f32 operator grade -> identical
+        # convergence; memory: one extra f32 (n, n) (0.7 GB at 13k). CPU
+        # keeps the trisolve route so the parity-oracle path is unchanged.
+        Li32 = jax.scipy.linalg.solve_triangular(
+            L32, jnp.eye(L32.shape[0], dtype=jnp.float32), lower=True)
+
+        def f32_solve(r):
+            y = jnp.dot(Li32, r.astype(jnp.float32))
+            return jnp.dot(Li32.T, y).astype(b.dtype)
+    else:
+
+        def f32_solve(r):
+            y = jax.scipy.linalg.solve_triangular(
+                L32, r.astype(jnp.float32), lower=True)
+            return jax.scipy.linalg.solve_triangular(
+                L32.T, y, lower=False).astype(b.dtype)
 
     x = f32_solve(bs)
     bnorm = jnp.linalg.norm(bs)

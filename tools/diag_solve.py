@@ -87,10 +87,26 @@ def main():
 
     timeit("factor+1solve nb=256", jax.jit(lambda A, b: fsolve(A, b, 256)),
            Ad, bd)
-    timeit("full exact (iters=4)", jax.jit(
+    timeit("full exact (default)", jax.jit(
         lambda A, b: sv._exact_solve(A, b).sum()), Ad, bd)
     timeit("full exact (iters=2)", jax.jit(
         lambda A, b: sv._exact_solve(A, b, iters=2).sum()), Ad, bd)
+    timeit("refined (fast mode)", jax.jit(
+        lambda A, b: sv._refined_solve(A, b).sum()), Ad, bd)
+
+    def tri_inv_solve(A, b):
+        As, bs, d = eq(A, b)
+        hp = jax.lax.Precision.HIGHEST
+        L = sv._blocked_cholesky(As, precision=hp, trailing="sliced")
+        Dinv = sv._diag_block_inverses(L)
+        Li = sv._tri_inverse_blocked(L, Dinv)
+        x = jnp.dot(Li.T, jnp.dot(Li, bs, precision=hp), precision=hp)
+        for _ in range(2):
+            r = bs - jnp.dot(As, x, precision=hp)
+            x = x + jnp.dot(Li.T, jnp.dot(Li, r, precision=hp), precision=hp)
+        return (x * d).sum()
+
+    timeit("sliced chol+Linv+2ref", jax.jit(tri_inv_solve), Ad, bd)
 
     # accuracy cross-check of iters=2 vs 4 (CPU oracle)
     x4 = np.asarray(sv._exact_solve(Ad, bd))
