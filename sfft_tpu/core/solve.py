@@ -77,19 +77,23 @@ def sliced_exact_dot(A: jnp.ndarray, B: jnp.ndarray = None,
         Bl = (Bt - Bh.astype(B.dtype)).astype(jnp.float32)
         Bsl, sbT = _slice_pair_real(Bh, Bl, nsl, rowwise=True)  # (nsl,n,k),(n,1)
 
-    i8 = lambda x: x.astype(jnp.int8)
+    # ONE dot per weight group: the group's slice pairs concatenate along K
+    # (sum_{i+j=s} A_i @ B_j^T == concat_i(A_i) @ concat_j(B_j)^T), so the
+    # whole GEMM is <= kmax+1 MXU dispatches instead of ~45 — measured
+    # 2026-08-19: 45 separate int8 dots cost ~0.6 ms of dispatch overhead
+    # EACH (30.8 ms for one 1484x256 SYRK vs ~1 ms of actual traffic).
+    # Depth bound: K_group <= nsl*k, |prod| <= 2^12 -> k <= 2^19/nsl safe.
+    Asl8 = Asl.astype(jnp.int8)
+    Bsl8 = Asl8 if syrk else Bsl.astype(jnp.int8)
     groups, weights = [], []
     for s in range(min(kmax, 2 * nsl - 2) + 1):
         combos = [(i, s - i) for i in range(max(0, s - nsl + 1),
                                             min(nsl - 1, s) + 1)]
-        acc = None
-        for i, j in combos:
-            d = jax.lax.dot_general(
-                i8(Asl[i]), i8(Bsl[j]),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc = d if acc is None else acc + d
-        groups.append(acc)
+        Acat = jnp.concatenate([Asl8[i] for i, _ in combos], axis=-1)
+        Bcat = jnp.concatenate([Bsl8[j] for _, j in combos], axis=-1)
+        groups.append(jax.lax.dot_general(
+            Acat, Bcat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32))
         weights.append(2.0 ** (-6 * (s + 2)))
     h, l = _accum(groups, weights, np.float32(1.0), big=True)
     out = h.astype(A.dtype) + l.astype(A.dtype)
@@ -149,7 +153,17 @@ def _blocked_cholesky(A: jnp.ndarray, nb: int = 256,
         else:
             Lkk = chol_small(diag)
         below = Acur[s + nb :, s : s + nb]
-        Lbk = tri_solve_lower(Lkk, below) if below.shape[0] else below
+        if below.shape[0] and trailing == "sliced":
+            # panel solve as (trail, nb) @ inv(Lkk).T: one small library
+            # inverse + a HIGHEST matmul replaces the library triangular
+            # solve's serial panel chain (same local panel grade)
+            Lkkinv = jax.scipy.linalg.solve_triangular(
+                Lkk, jnp.eye(nb, dtype=Lkk.dtype), lower=True)
+            Lbk = jnp.dot(below, Lkkinv.T, precision=precision)
+        elif below.shape[0]:
+            Lbk = tri_solve_lower(Lkk, below)
+        else:
+            Lbk = below
         L = L.at[s : s + nb, s : s + nb].set(Lkk)
         if below.shape[0]:
             L = L.at[s + nb :, s : s + nb].set(Lbk)

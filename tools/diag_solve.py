@@ -77,6 +77,13 @@ def main():
     timeit("HIGHEST syrk 1484", jax.jit(
         lambda A, b: jnp.dot(A[:1484, :256], A[:1484, :256].T,
                              precision=hp).sum()), Ad, bd)
+    timeit("lib chol f64 256", jax.jit(
+        lambda A, b: jnp.linalg.cholesky(
+            eq(A, b)[0][:256, :256]).sum()), Ad, bd)
+    timeit("lib trisolve panel", jax.jit(
+        lambda A, b: jax.scipy.linalg.solve_triangular(
+            jnp.linalg.cholesky(eq(A, b)[0][:256, :256]),
+            A[:256, 256:].astype(A.dtype), lower=True).sum()), Ad, bd)
 
     def fsolve(A, b, nb):
         As, bs, d = eq(A, b)
