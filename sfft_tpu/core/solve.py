@@ -397,6 +397,153 @@ def _refined_solve_f64(A: jnp.ndarray, b: jnp.ndarray,
     return x * d
 
 
+def _legendre_congruence(degree: int) -> np.ndarray:
+    """Static change of basis C for the triangular 2-D monomial terms
+    {x^i y^j : i+j <= degree} (enumeration of indices.ref_basis_exponents)
+    into tensor products of SHIFTED Legendre polynomials on [0,1].
+
+    column ij of C holds the monomial coefficients of the Legendre term, so
+    for spatial-basis values U (npix, Fij): U_legendre = U @ C. Shifted
+    Legendre polynomials have INTEGER coefficients (P~0=1, P~1=2t-1,
+    P~2=6t^2-6t+1, P~3=20t^3-30t^2+12t-1), so C is an exact integer matrix
+    and the congruence T' A T is computed backward-stably in f64.
+
+    Why: the monomial spatial terms are nearly collinear over the image
+    domain — measured on the real 512^2 bench system they contribute a
+    factor ~600x to cond(equilibrated) (3.4e8 raw -> 5.6e5 after this
+    congruence; tools/diag_cond_structure.py). In the Legendre basis the
+    normal system is well-enough conditioned that an f32 Cholesky factor +
+    exact-f64-residual refinement converges to the f64 floor (cond*eps32
+    ~0.03 << 1), replacing the exact-f64 blocked factorization's long
+    sequential dispatch chain with a handful of library ops."""
+    P1 = {
+        0: [1],
+        1: [-1, 2],
+        2: [1, -6, 6],
+        3: [-1, 12, -30, 20],
+    }
+    terms = [(i, j) for i in range(degree + 1) for j in range(degree + 1 - i)]
+    F = len(terms)
+    C = np.zeros((F, F))
+    for col, (p, q) in enumerate(terms):
+        cp, cq = P1[p], P1[q]
+        for row, (r, s) in enumerate(terms):
+            if r < len(cp) and s < len(cq):
+                C[row, col] = cp[r] * cq[s]
+    return C
+
+
+def _transformed_solve(cfg: SFFTConfig, lhs: jnp.ndarray, rhs: jnp.ndarray,
+                       iters: int = 10) -> jnp.ndarray:
+    """Contract-grade solve of the FULL (untweaked) polynomial ENTANGLED
+    system via a static Legendre congruence + f32-Cholesky refinement, with a
+    certified fallback to the unconditional exact solver.
+
+    Pipeline (all structured ops — reshapes, (Fij x Fij) einsums, library
+    f32 factorizations; no O(NEQ) sequential dispatch chains):
+      1. y-space change of variables x = S z. S mixes the spatial index of
+         every kernel dof through the integer Legendre matrix C
+         (_legendre_congruence) and the background dofs through C_bkg. The
+         ConstPhotRatio constraint (x_{ij,center}=0 for ij>=1, reference
+         "forbidden stripes", sfft/sfftcore/SFFTSubtract.py:525-532) is kept
+         EXACTLY: because C z|_center must equal (t,0,...,0), the center-ab
+         column block of S degenerates to the single passthrough column
+         e_{(0,center)}, and the ij>=1 center columns are zero — their rows/
+         cols of S'AS vanish identically and are diagonal-pinned to 1.
+      2. A~ = S'AS, b~ = S'b in f64 (HIGHEST): backward-stable since C is a
+         small integer matrix — forward effect <= cond(A~_eq) * depth*eps64
+         ~1e-8, inside the f64 band of the original solve.
+      3. Jacobi equilibration, f32 Cholesky + explicit f32 L^-1 (two library
+         ops), exact-f64-residual refinement to the f64 floor (measured on
+         the real 512^2 system: 2 refinements reach 2.9e-8 max-rel vs the
+         original-basis LAPACK solution — identical to the exact solver's
+         conditioning floor cond*eps64).
+      4. Certificate: if the final exact residual hasn't converged
+         (||r|| > 1e-12 ||b~||, or NaN — e.g. images whose kernel-shift
+         collinearity pushes cond(A~_eq)*eps32 past 1 so the f32-factor
+         iteration stalls), lax.cond into _exact_solve on the SAME
+         transformed system — the unconditional sliced-f64 route. The
+         contract therefore never depends on the conditioning win.
+    Returns the NEQ solution in the ORIGINAL basis (removed dofs exactly 0).
+    """
+    from sfft_tpu.core.indices import kernel_sum_dof_index
+
+    Fij, Fab, Fijab, Fpq = cfg.Fij, cfg.Fab, cfg.Fijab, cfg.Fpq
+    c = cfg.center_ab
+    hp = jax.lax.Precision.HIGHEST
+    C = _legendre_congruence(cfg.kernel_basis.degree)
+    if Fpq > 1 and cfg.bg_basis.kind == "polynomial":
+        Cb = _legendre_congruence(cfg.bg_basis.degree)
+    else:
+        Cb = np.eye(max(Fpq, 1))
+    removed = (kernel_sum_dof_index(cfg)[1:].astype(np.int32)
+               if cfg.const_phot_ratio else np.zeros((0,), np.int32))
+    Cj = jnp.asarray(C, lhs.dtype)
+    Cbj = jnp.asarray(Cb, lhs.dtype)
+
+    def S_cols(M):
+        # M (r, NEQ) -> M @ S
+        r = M.shape[0]
+        K = M[:, :Fijab].reshape(r, Fij, Fab)
+        K2 = jnp.einsum("ria,ij->rja", K, Cj, precision=hp)
+        if removed.size:
+            K2 = K2.at[:, 1:, c].set(0.0)
+            K2 = K2.at[:, 0, c].set(K[:, 0, c])
+        parts = [K2.reshape(r, Fijab)]
+        if Fpq:
+            parts.append(jnp.dot(M[:, Fijab:], Cbj, precision=hp))
+        return jnp.concatenate(parts, axis=1)
+
+    def S_vec(z):
+        # x = S z (back to the original basis)
+        Zk = z[:Fijab].reshape(Fij, Fab)
+        X = jnp.einsum("ja,ij->ia", Zk, Cj, precision=hp)
+        if removed.size:
+            X = X.at[1:, c].set(0.0)
+            X = X.at[0, c].set(Zk[0, c])
+        parts = [X.reshape(Fijab)]
+        if Fpq:
+            parts.append(jnp.dot(Cbj, z[Fijab:], precision=hp))
+        return jnp.concatenate(parts)
+
+    At = S_cols(S_cols(lhs).T)
+    bt = S_cols(rhs[None, :])[0]
+    if removed.size:
+        At = At.at[removed, removed].set(1.0)
+        bt = bt.at[removed].set(0.0)  # exact zeros already; keep explicit
+
+    d = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(At)) + jnp.finfo(At.dtype).tiny)
+    As = At * d[:, None] * d[None, :]
+    bs = bt * d
+    L32 = jnp.linalg.cholesky(As.astype(jnp.float32))
+    Li32 = jax.scipy.linalg.solve_triangular(
+        L32, jnp.eye(L32.shape[0], dtype=jnp.float32), lower=True)
+
+    def f32_solve(r):
+        y = jnp.dot(Li32, r.astype(jnp.float32))
+        return jnp.dot(Li32.T, y).astype(bt.dtype)
+
+    x = f32_solve(bs)
+    bnorm = jnp.linalg.norm(bs)
+
+    def body(state):
+        k, x, _ = state
+        r = bs - jnp.dot(As, x, precision=hp)
+        return k + 1, x + f32_solve(r), jnp.linalg.norm(r)
+
+    def cond_fn(state):
+        k, _, rn = state
+        return jnp.logical_and(k < iters, rn > 1e-15 * bnorm)
+
+    _, x, _ = jax.lax.while_loop(cond_fn, body, (jnp.int32(0), x, bnorm))
+    rn = jnp.linalg.norm(bs - jnp.dot(As, x, precision=hp))
+    ok = rn <= 1e-12 * bnorm  # False on NaN -> fallback
+
+    y = jax.lax.cond(ok, lambda _: x * d,
+                     lambda _: _exact_solve(At, bt), None)
+    return S_vec(y)
+
+
 def _refined_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
     """Equilibrated float32 LU + float64-residual iterative refinement.
 
@@ -502,6 +649,20 @@ def solve_system(
     """Solve, honoring the scaling-mode system tweak. Returns the NEQ-length
     solution with removed dofs re-inserted (zeros, or the shared constant for
     aggregated B-spline scaling)."""
+    if (cfg.solver in ("exact", "transformed")
+            and lhs.dtype == jnp.float64
+            and cfg.scaling_mode == "ENTANGLED"
+            and cfg.kernel_basis.kind == "polynomial"
+            and (cfg.solver == "transformed"
+                 or jax.default_backend() not in ("cpu", "gpu"))):
+        # polynomial ENTANGLED f64 contract on TPU: Legendre congruence +
+        # f32-factor refinement with certified exact fallback — the tweak
+        # (stripe removal) is carried exactly inside the transform. The CPU
+        # 'exact' route stays on the reduced blocked-f64 path so the parity
+        # oracle is an independent implementation; solver='transformed'
+        # forces this path on any backend (tests).
+        return _transformed_solve(cfg, lhs, rhs)
+
     pres, aggregate, ij00 = _tweak_plan(cfg)
     reduced = pres is not None
     if reduced:
@@ -545,6 +706,9 @@ def solve_system(
             x = _refined_solve_f64(A, b)
         else:
             x = _exact_solve(A, b)
+    elif cfg.solver == "transformed":
+        raise ValueError(
+            "solver='transformed' requires an f64 polynomial ENTANGLED config")
     elif cfg.solver == "blocked_cho":
         L = _blocked_cholesky(A)
         y = jax.scipy.linalg.solve_triangular(L, b, lower=True)

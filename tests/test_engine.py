@@ -112,7 +112,8 @@ def test_greek_chunking(rng):
     assert np.allclose(np.asarray(sol1), np.asarray(sol2), rtol=1e-12)
 
 
-@pytest.mark.parametrize("solver", ["lu", "cho", "host", "blocked_cho", "refined"])
+@pytest.mark.parametrize("solver", ["lu", "cho", "host", "blocked_cho",
+                                    "refined", "transformed"])
 def test_solvers_agree(rng, solver):
     I, J = make_pair(rng)
     sol, _ = ElementalSFFT.ESS(I, J, base_cfg(solver=solver))
@@ -296,3 +297,60 @@ def test_tri_inverse_blocked_solver_path():
     rel = np.max(np.abs(xs - x_true)) / np.max(np.abs(x_true))
     # floor ~ cond * eps64 = 1e8 * 1e-16 ~ 1e-8; leave headroom
     assert rel < 3e-7, rel
+
+
+@pytest.mark.parametrize("cpr,DK,DB", [(True, 2, 2), (False, 2, 2),
+                                       (True, 3, 1), (True, 1, 0)])
+def test_transformed_solver_constraint_and_degrees(rng, cpr, DK, DB):
+    """The Legendre-congruence solver (core/solve.py:_transformed_solve) must
+    reproduce the reduced-system LU solution exactly-in-band across kernel/
+    background degrees, honoring the ConstPhotRatio stripe constraint inside
+    the transform (removed dofs exactly zero)."""
+    I, J = make_pair(rng)
+    sol_t, d_t = ElementalSFFT.ESS(
+        I, J, base_cfg(DK=DK, DB=DB, cpr=cpr, solver="transformed"),
+        Subtract=True)
+    sol_r, d_r = ElementalSFFT.ESS(
+        I, J, base_cfg(DK=DK, DB=DB, cpr=cpr, solver="lu"), Subtract=True)
+    st, sr = np.asarray(sol_t), np.asarray(sol_r)
+    # band: two f64 solvers differ by ~cond*eps64 (DK=3 reaches cond ~5e7
+    # on this tiny pair; 'cho' vs 'lu' shows the same ~6e-10 spread)
+    assert np.allclose(st, sr, rtol=1e-6, atol=1e-8 * np.abs(sr).max())
+    if cpr:
+        from sfft_tpu.core.indices import kernel_sum_dof_index
+        from sfft_tpu.config import make_config
+        cfg = base_cfg(DK=DK, DB=DB, cpr=cpr)
+        rem = kernel_sum_dof_index(cfg)[1:]
+        assert np.all(st[rem] == 0.0)
+    assert np.allclose(np.asarray(d_t), np.asarray(d_r),
+                       atol=1e-8 * np.abs(np.asarray(d_r)).max())
+
+
+def test_transformed_solver_certified_fallback():
+    """When the f32-factor refinement cannot converge (cond*eps32 >> 1 —
+    synthetic cond ~3e11 system), the residual certificate must route the
+    solve through the unconditional exact fallback and still return an
+    f64-grade solution."""
+    import jax.numpy as jnp
+    from sfft_tpu.config import make_config
+    from sfft_tpu.core.indices import kernel_sum_dof_index
+    from sfft_tpu.core.solve import _transformed_solve, _tweak_plan
+
+    cfg = make_config(24, 20, 1, dtype="float64", solver="transformed")
+    rng = np.random.default_rng(77)
+    n = cfg.NEQ
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = (Q * np.logspace(0, -11.5, n)) @ Q.T
+    A = 0.5 * (A + A.T)
+    b = A @ rng.normal(size=n)
+    x = np.asarray(_transformed_solve(cfg, jnp.asarray(A), jnp.asarray(b)))
+    # oracle: reduced-system solve with removed dofs pinned to zero
+    pres, _, _ = _tweak_plan(cfg)
+    xo = np.zeros(n)
+    xo[pres] = np.linalg.solve(A[np.ix_(pres, pres)], b[pres])
+    rem = kernel_sum_dof_index(cfg)[1:]
+    assert np.all(x[rem] == 0.0)
+    rel = np.max(np.abs(x - xo)) / np.max(np.abs(xo))
+    # fallback floor ~ cond * eps64 ~ 3e-5; the stalled f32 path would sit
+    # at O(1) error here
+    assert rel < 3e-4, rel
