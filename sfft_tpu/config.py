@@ -180,7 +180,7 @@ class SFFTConfig:
 # 4K bench pair (cond_eq ~3e8, the adversarial case):
 #   contract — f64 parity contract end to end: exact-grade sliced-int8 tables,
 #              exact blocked-Cholesky solve, exact pair-arithmetic difference.
-#              ~894 ms/4K; sol 5.7e-6 / diff RMS 2.5e-6 vs the CPU f64 oracle
+#              ~778 ms/4K; sol 5.7e-6 / diff RMS 2.5e-6 vs the CPU f64 oracle
 #              (the measured f64 band at that conditioning).
 #   balanced — contract-grade SOLUTION (exact tables + exact solve), fft32
 #              difference construction: for pipelines that consume the kernel

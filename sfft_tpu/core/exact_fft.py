@@ -191,6 +191,45 @@ def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
     return jnp.stack(out), s
 
 
+def _slice_triple_real(hi: jnp.ndarray, mid: jnp.ndarray, lo: jnp.ndarray,
+                       nsl: int, rowwise: bool = False):
+    """(hi, mid, lo) f32 triple -> (int8 slices stacked on axis 0, pow-2
+    scale); value == scale * sum_q slices[q] * 2^{-NB (q+1)} + O(2^-NB*nsl).
+
+    The triple carries ~72 bits (an exact 3-way f32 split of an f64 value:
+    hi = f32(v), mid = f32(v - hi), lo = f32(v - hi - mid)), so with
+    nsl = 12 the slicing captures values to 2^-72 of the scale — an (hi, lo)
+    PAIR floors at 2^-48-relative per element, which is ~30x above eps64 and
+    would cap exact-residual refinement above the f64 band (measured: sliced
+    pair matvec 2e-13 vs f64 dot 2e-16 against a longdouble oracle). mid and
+    lo are injected at the 24-bit boundaries (q=4 and q=8), mirroring
+    _slice_pair_real's single injection. Inputs from exact splits are
+    already canonical (no TwoSum renormalization needed)."""
+    if rowwise:
+        s = _pow2ceil_scalar(jnp.max(jnp.abs(hi), axis=-1, keepdims=True))
+    else:
+        s = _pow2ceil_scalar(jnp.max(jnp.abs(hi)))
+    r = hi / s
+    out = []
+    carry = None
+    for q in range(nsl):
+        sc = np.float32(2.0 ** (NB * (q + 1)))
+        p = jnp.round(r * sc)
+        out.append(p.astype(jnp.int8))
+        r = r - p / sc
+        if q == 3:
+            # EXACT injection: a plain f32 add rounds at 2^-24 of the
+            # ~2^-24*s residual magnitude, i.e. a 2^-48*s floor that erases
+            # the triple's extra bits (measured: repr error 3.6e-15 of scale
+            # instead of ~2^-72). TwoSum keeps the rounding as a carry,
+            # deferred to the lo injection where both are ~2^-48*s and the
+            # add rounds at 2^-72*s.
+            r, carry = _two_sum(r, mid / s)
+        if q == 7:
+            r = r + (lo / s + carry)
+    return jnp.stack(out), s
+
+
 from collections import OrderedDict
 
 _INTERN: "OrderedDict" = OrderedDict()

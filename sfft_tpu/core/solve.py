@@ -338,8 +338,153 @@ def _exact_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     return x * d
 
 
+def _tri_inverse_f32(L: jnp.ndarray, nb: int = 1024) -> jnp.ndarray:
+    """Memory-bounded explicit inverse of a large lower-triangular f32 factor.
+
+    X[i,i] = inv(L[i,i]); X[i,:i] = -X[i,i] (L[i,:i] @ X[:i,:i]) — one f32
+    GEMM per row block, diagonal-block inverses via ONE batched triangular
+    solve against I. Row blocks are padded to full width and concatenated
+    (no (n, n)-sized dynamic-update-slices: XLA's lowering of a single
+    triangular solve against I at n=13k materializes ~38 GB of update-slice
+    temps and fails to compile on a 16 GB chip). Peak transients: the
+    (s, n) previous-rows concat (<= the result itself) + one (nb, n) GEMM
+    output. Error ~ eps32 * cond(L) — the same preconditioner grade as the
+    library triangular solves it replaces; refinement absorbs it."""
+    n = L.shape[0]
+    nblk = -(-n // nb)
+    npad = nblk * nb
+    Lp = jnp.zeros((npad, npad), L.dtype).at[:n, :n].set(L)
+    Lp = Lp.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(1.0)
+    Dinv = _diag_block_inverses(Lp, nb=nb)
+    rows = [jnp.pad(Dinv[0], ((0, 0), (0, npad - nb)))]
+    for i in range(1, nblk):
+        s = i * nb
+        prev = rows[0] if i == 1 else jnp.concatenate(rows, axis=0)
+        # explicit full-f32 precision: the TPU's DEFAULT f32 matmul runs
+        # bf16-grade passes — measured ||I - Li L|| 0.963 (vs 2e-4 on CPU)
+        # with default dots, which silently destroyed the preconditioner
+        hpf = jax.lax.Precision.HIGHEST
+        prod = jnp.dot(Lp[s : s + nb, :s], prev[:, :s], precision=hpf)
+        row = -jnp.dot(Dinv[i], prod, precision=hpf)
+        row = jnp.pad(row, ((0, 0), (0, npad - s)))
+        rows.append(row.at[:, s : s + nb].set(Dinv[i]))
+    X = jnp.concatenate(rows, axis=0) if nblk > 1 else rows[0]
+    return X[:n, :n]
+
+
+_RESID_NSL = 12   # 72-bit capture: below eps64 against the row scale
+_RESID_KMAX = 11
+
+
+def _sliced_residual_setup(A: jnp.ndarray, d: jnp.ndarray,
+                           nsl: int = _RESID_NSL, row_chunk: int = None):
+    """One-time int8 slicing of the equilibrated system for exact-grade
+    refinement residuals (TPU): returns (Ah, Asl_flat, sa) where Ah is the
+    f32 hi part (fed straight to the f32 Cholesky — it IS the f32 rounding
+    of the equilibrated matrix) and Asl_flat (nsl*n, n) int8 + per-row
+    pow-2 scales sa represent the matrix to ~2^-72 of the row scale (exact
+    3-way f32 split + 12 slices; see _slice_triple_real for why a pair is
+    not enough)."""
+    from sfft_tpu.core.exact_fft import _slice_triple_real
+
+    n = A.shape[0]
+
+    def slice_rows(args):
+        Ac, dc = args
+        As = Ac * dc[:, None] * d[None, :]
+        Ah = As.astype(jnp.float32)
+        rem = As - Ah.astype(As.dtype)
+        Am = rem.astype(jnp.float32)
+        Al = (rem - Am.astype(As.dtype)).astype(jnp.float32)
+        Asl, sa = _slice_triple_real(Ah, Am, Al, nsl, rowwise=True)
+        return Ah, Asl, sa
+
+    if row_chunk is None and n < 4096:
+        Ah, Asl, sa = slice_rows((A, d))
+        return Ah, Asl.reshape(nsl * n, n), sa, None
+
+    # large systems: stream the (row-independent) slicing through lax.map
+    # row chunks, and keep the map's CHUNK-MAJOR slice layout
+    # (nc, nsl, ch, n) — both the unrolled slicing chain over the full
+    # (13207, 13207) array AND the (nsl, n) transpose that would convert to
+    # slice-major cost ~700 s of axon compile each (measured 2026-08-19,
+    # tools/diag_solve13k_compile.py / setup bisect: map-only compiles in
+    # 5.5 s), so _sliced_matvec consumes the chunked layout directly. The
+    # pad rows carry d=0 -> all-zero slices, harmless.
+    ch = row_chunk or 512
+    nc = -(-n // ch)
+    npad = nc * ch
+    Ap = jnp.zeros((npad, n), A.dtype).at[:n, :].set(A)
+    dp = jnp.zeros((npad,), d.dtype).at[:n].set(d)
+    Ah_c, Asl_c, sa_c = jax.lax.map(
+        slice_rows, (Ap.reshape(nc, ch, n), dp.reshape(nc, ch)))
+    Ah = Ah_c.reshape(npad, n)[:n]
+    sa = sa_c.reshape(npad, 1)[:n]
+    return Ah, Asl_c.reshape(nc * nsl * ch, n), sa, ch
+
+
+def _sliced_matvec(Asl_flat: jnp.ndarray, sa: jnp.ndarray, x: jnp.ndarray,
+                   nsl: int = _RESID_NSL, kmax: int = _RESID_KMAX,
+                   chunk: int = None) -> jnp.ndarray:
+    """Exact-grade f64 matvec of the sliced equilibrated matrix against a
+    runtime f64 vector — the refinement residual's workhorse on TPU.
+
+    Why: the HIGHEST-precision (exact slow route) f64 matvec costs 142.8 ms
+    at n=13207 on v5e (measured, tools/diag_solve13k.py) — the slow route
+    runs skinny contractions at ~0.002 TF, and 5-6 refinement residuals made
+    it the dominant term of the 13k-dof NIRCam solve (996 ms of the 1.5 s
+    step). Here the vector is sliced per call (cheap, (nsl, n)) and ONE int8
+    GEMM (nsl*n, n) @ (n, 64-padded) computes every slice-pair product with
+    EXACT int32 accumulation (|prod| <= 2^12, depth n -> < 2^26 per element,
+    group sums < 2^29), then the <= kmax+1 weight groups recombine through
+    the compensated f32 chain. ~5 ms/call at n=13207.
+
+    Accuracy: representation floor ~2^-54-relative (same slicing grade as
+    sliced_exact_dot) — the backward-error floor it imposes on refinement is
+    the same table-grade floor the contract carries everywhere else."""
+    from sfft_tpu.core.exact_fft import _slice_triple_real
+
+    n = x.shape[0]
+    xh = x.astype(jnp.float32)
+    xrem = x - xh.astype(x.dtype)
+    xm = xrem.astype(jnp.float32)
+    xl = (xrem - xm.astype(x.dtype)).astype(jnp.float32)
+    xsl, sx = _slice_triple_real(xh, xm, xl, nsl)      # (nsl, n), pow-2
+    X8 = jnp.zeros((n, 64), jnp.int8).at[:, :nsl].set(
+        xsl.astype(jnp.int8).T)
+    prod = jax.lax.dot_general(
+        Asl_flat, X8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    if chunk is None:
+        prod = prod.reshape(nsl, n, 64)            # slice-major rows
+
+        def take(i, j):
+            return prod[i, :, j]
+    else:
+        nc = Asl_flat.shape[0] // (nsl * chunk)    # chunk-major rows
+        prodc = prod.reshape(nc, nsl, chunk, 64)
+
+        def take(i, j):
+            return prodc[:, i, :, j].reshape(nc * chunk)[:n]
+
+    # recombine in f64 directly: the group sums are EXACT int32 and the
+    # output is only an (n,) vector, so an f64 weighted sum costs nothing
+    # and keeps eps64 grade (_accum's compensated f32 pair would cap the
+    # result at ~2^-48 relative — measured 2e-13 vs 2e-16 for this matvec
+    # against a longdouble oracle)
+    out = jnp.zeros((n,), x.dtype)
+    for s in range(min(kmax, 2 * nsl - 2) + 1):
+        combos = [(i, s - i) for i in range(max(0, s - nsl + 1),
+                                            min(nsl - 1, s) + 1)]
+        g = take(*combos[0])
+        for i, j in combos[1:]:
+            g = g + take(i, j)
+        out = out + g.astype(x.dtype) * (2.0 ** (-6 * (s + 2)))
+    return out * sa[:, 0].astype(x.dtype) * sx.astype(x.dtype)
+
+
 def _refined_solve_f64(A: jnp.ndarray, b: jnp.ndarray,
-                       iters: int = 8) -> jnp.ndarray:
+                       iters: int = 12) -> jnp.ndarray:
     """f64-contract solve for LARGE (NEQ >= 8k) systems: f32 Cholesky factor
     + EXACT-f64-residual refinement to the f64 floor.
 
@@ -353,27 +498,52 @@ def _refined_solve_f64(A: jnp.ndarray, b: jnp.ndarray,
     the fast MXU path, unlike _exact_solve's slow exact-f64 trailing updates
     which would cost tens of seconds at this size. The while_loop stops at
     the residual floor, so extra iterations are free when converged early.
-    Reference bar: full-f64 LU (sfft/BSplineSFFT.py:3702-3787)."""
+    Reference bar: full-f64 LU (sfft/BSplineSFFT.py:3702-3787).
+
+    Validity domain: the equilibrated system must be numerically positive
+    definite IN f32 — cond_eq alone does not decide this; the spectrum shape
+    does. A synthetic n=13207 system with a dense logspace(0,-7) spectrum
+    breaks the f32 factor (LAPACK agrees: minor 10707 not PD) while the real
+    regularized NIRCam system at the same cond_eq ~1.1e7 factors fine. On
+    breakdown the factor is NaN and the returned solution is all-NaN (NaN
+    sticks through every x update; the sliced residual of a NaN x is finite
+    garbage so the loop runs its full iteration budget, but x itself can
+    never recover) — loudly visible, never silently wrong. The production
+    gate (solve_system: NEQ >= 8192
+    requires Tikhonov regularization ON) keeps user systems in the valid
+    class; raising regularize_lambda is the documented recovery."""
     d = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)) + jnp.finfo(A.dtype).tiny)
-    As = A * d[:, None] * d[None, :]
     bs = b * d
     hp = jax.lax.Precision.HIGHEST
-    L32 = jnp.linalg.cholesky(As.astype(jnp.float32))
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
 
-    if jax.default_backend() not in ("cpu", "gpu"):
-        # explicit L^-1 (ONE batched triangular solve against I, MXU-bound):
-        # each refinement application becomes two f32 MATVECs instead of two
-        # big library triangular solves whose serial panel chains dominated
-        # the 13k-dof solve latency. Same f32 operator grade -> identical
-        # convergence; memory: one extra f32 (n, n) (0.7 GB at 13k). CPU
-        # keeps the trisolve route so the parity-oracle path is unchanged.
-        Li32 = jax.scipy.linalg.solve_triangular(
-            L32, jnp.eye(L32.shape[0], dtype=jnp.float32), lower=True)
+    if on_tpu:
+        # TPU: (1) the equilibrated system rides as int8 slices + its f32 hi
+        # part — the f64 (n, n) equilibrated matrix exists only as a
+        # transient inside the slicing; residual matvecs go through
+        # _sliced_matvec (~5 ms vs 142.8 ms for the HIGHEST f64 matvec at
+        # 13k, measured 2026-08-19). (2) explicit L^-1: each refinement
+        # application becomes two f32 MATVECs instead of two big library
+        # triangular solves whose serial panel chains dominated the 13k-dof
+        # solve latency. Built BLOCKED (_tri_inverse_f32): a single library
+        # solve_triangular against I at n=13k lowers to ~38 GB of
+        # dynamic-update-slice HLO temps and fails compile on a 16 GB v5e.
+        # CPU keeps the f64-matvec trisolve route so the parity-oracle path
+        # is an independent implementation.
+        Ah, Asl_flat, sa, chk = _sliced_residual_setup(A, d)
+        L32 = jnp.linalg.cholesky(Ah)
+        Li32 = _tri_inverse_f32(L32)
 
         def f32_solve(r):
-            y = jnp.dot(Li32, r.astype(jnp.float32))
-            return jnp.dot(Li32.T, y).astype(b.dtype)
+            # precision=HIGHEST: TPU DEFAULT f32 dots are bf16-grade
+            y = jnp.dot(Li32, r.astype(jnp.float32), precision=hp)
+            return jnp.dot(Li32.T, y, precision=hp).astype(b.dtype)
+
+        def residual(x):
+            return bs - _sliced_matvec(Asl_flat, sa, x, chunk=chk)
     else:
+        As = A * d[:, None] * d[None, :]
+        L32 = jnp.linalg.cholesky(As.astype(jnp.float32))
 
         def f32_solve(r):
             y = jax.scipy.linalg.solve_triangular(
@@ -381,12 +551,15 @@ def _refined_solve_f64(A: jnp.ndarray, b: jnp.ndarray,
             return jax.scipy.linalg.solve_triangular(
                 L32.T, y, lower=False).astype(b.dtype)
 
+        def residual(x):
+            return bs - jnp.dot(As, x, precision=hp)
+
     x = f32_solve(bs)
     bnorm = jnp.linalg.norm(bs)
 
     def body(state):
         k, x, _ = state
-        r = bs - jnp.dot(As, x, precision=hp)
+        r = residual(x)
         return k + 1, x + f32_solve(r), jnp.linalg.norm(r)
 
     def cond(state):
@@ -520,8 +693,9 @@ def _transformed_solve(cfg: SFFTConfig, lhs: jnp.ndarray, rhs: jnp.ndarray,
         L32, jnp.eye(L32.shape[0], dtype=jnp.float32), lower=True)
 
     def f32_solve(r):
-        y = jnp.dot(Li32, r.astype(jnp.float32))
-        return jnp.dot(Li32.T, y).astype(bt.dtype)
+        # precision=HIGHEST: TPU DEFAULT f32 dots are bf16-grade
+        y = jnp.dot(Li32, r.astype(jnp.float32), precision=hp)
+        return jnp.dot(Li32.T, y, precision=hp).astype(bt.dtype)
 
     x = f32_solve(bs)
     bnorm = jnp.linalg.norm(bs)

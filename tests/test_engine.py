@@ -354,3 +354,81 @@ def test_transformed_solver_certified_fallback():
     # fallback floor ~ cond * eps64 ~ 3e-5; the stalled f32 path would sit
     # at O(1) error here
     assert rel < 3e-4, rel
+
+
+@pytest.mark.parametrize("row_chunk", [None, 512])
+def test_sliced_residual_matvec_f64_grade(row_chunk):
+    """The TPU refinement residual's int8-sliced matvec (core/solve.py:
+    _sliced_matvec, triple-split + f64 group recombination) must sit at the
+    f64 dot's grade against a longdouble oracle — a 48-bit pair path here
+    measured 2e-13 and would cap the 13k-dof refinement above the f64 band.
+    row_chunk=512 forces the chunk-major lax.map layout that large (n >=
+    4096) systems take on TPU; n=1200 alone would only cover the unchunked
+    branch (the chunk is not a multiple of n, so the pad rows are live)."""
+    import jax
+    import jax.numpy as jnp
+    from sfft_tpu.core.solve import _sliced_matvec, _sliced_residual_setup
+
+    rng = np.random.default_rng(6)
+    n = 1200
+    G = rng.normal(size=(n, n)) * np.exp(rng.normal(0, 2, size=(1, n)))
+    A = G.T @ G + n * np.eye(n)
+    d = 1.0 / np.sqrt(np.abs(np.diag(A)))
+    x = rng.normal(size=n) * np.exp(rng.normal(0, 2, size=n))
+
+    def mv(A, d, x):
+        _, Asl, sa, chk = _sliced_residual_setup(A, d, row_chunk=row_chunk)
+        return _sliced_matvec(Asl, sa, x, chunk=chk)
+
+    f = jax.jit(mv)
+    out = np.asarray(f(jnp.asarray(A), jnp.asarray(d), jnp.asarray(x)))
+    As = A * d[:, None] * d[None, :]
+    ld = (As.astype(np.longdouble) @ x.astype(np.longdouble)).astype(
+        np.float64)
+    rel = np.max(np.abs(out - ld)) / np.max(np.abs(ld))
+    assert rel < 5e-14, rel
+
+
+def test_refined_f64_sliced_residual_path():
+    """Compose the TPU branch of _refined_solve_f64 explicitly (sliced
+    residual + blocked f32 inverse) and check it reaches the f64 floor at
+    NIRCam-like conditioning — the backend gate hides this path from the
+    CPU-suite otherwise."""
+    import jax
+    import jax.numpy as jnp
+    from sfft_tpu.core.solve import (_sliced_matvec, _sliced_residual_setup,
+                                     _tri_inverse_f32)
+
+    rng = np.random.default_rng(414)
+    n = 1400
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.logspace(0, -7, n)
+    A = (Q * lam) @ Q.T
+    A = 0.5 * (A + A.T)
+    b = A @ rng.normal(size=n)
+
+    def solve(A, b):
+        d = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(A)))
+        bs = b * d
+        Ah, Asl, sa, chk = _sliced_residual_setup(A, d)
+        L32 = jnp.linalg.cholesky(Ah)
+        Li32 = _tri_inverse_f32(L32)
+
+        def f32_solve(r):
+            y = jnp.dot(Li32, r.astype(jnp.float32))
+            return jnp.dot(Li32.T, y).astype(b.dtype)
+
+        x = f32_solve(bs)
+        # XLA-CPU's f32 Cholesky is ~15x less accurate than LAPACK's
+        # (measured ||As - LL'|| 8.3e-7 vs 5.5e-8), so the contraction rate
+        # here is ~0.25/iter instead of the ~60x/iter seen on the real
+        # hardware systems — give it the iterations; each is two matvecs.
+        for _ in range(20):
+            r = bs - _sliced_matvec(Asl, sa, x, chunk=chk)
+            x = x + f32_solve(r)
+        return x * d
+
+    x = np.asarray(jax.jit(solve)(jnp.asarray(A), jnp.asarray(b)))
+    x_ref = np.linalg.solve(A, b)
+    err = np.max(np.abs(x - x_ref)) / np.max(np.abs(x_ref))
+    assert err < 1e-8, err
