@@ -205,6 +205,9 @@ def _slice_triple_real(hi: jnp.ndarray, mid: jnp.ndarray, lo: jnp.ndarray,
     lo are injected at the 24-bit boundaries (q=4 and q=8), mirroring
     _slice_pair_real's single injection. Inputs from exact splits are
     already canonical (no TwoSum renormalization needed)."""
+    # the mid/lo injections land at q==3 / q==7: with nsl < 8 they would be
+    # silently dropped, degrading the claimed 72-bit capture — fail loudly
+    assert nsl >= 8, f"_slice_triple_real needs nsl >= 8 (got {nsl})"
     if rowwise:
         s = _pow2ceil_scalar(jnp.max(jnp.abs(hi), axis=-1, keepdims=True))
     else:

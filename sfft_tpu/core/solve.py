@@ -85,6 +85,14 @@ def sliced_exact_dot(A: jnp.ndarray, B: jnp.ndarray = None,
     # Depth bound: K_group <= nsl*k, |prod| <= 2^12 -> k <= 2^19/nsl safe.
     Asl8 = Asl.astype(jnp.int8)
     Bsl8 = Asl8 if syrk else Bsl.astype(jnp.int8)
+    # int32 exactness guard: a group concatenates <= nsl slice pairs along K,
+    # each |product| <= 64*33 < 2^12, so the deepest dot sums nsl*k terms of
+    # magnitude < 2^12 — that must stay under 2^31 or the accumulator WRAPS
+    # silently and corrupts the factor (k <= ~58k at nsl=9; no current caller
+    # is near it, but _tri_inverse_blocked contracts k up to the system size).
+    assert nsl * A.shape[-1] * (64 * 33) < 2 ** 31, (
+        f"sliced_exact_dot int32 depth bound exceeded: nsl={nsl}, "
+        f"k={A.shape[-1]} — split the K axis")
     groups, weights = [], []
     for s in range(min(kmax, 2 * nsl - 2) + 1):
         combos = [(i, s - i) for i in range(max(0, s - nsl + 1),

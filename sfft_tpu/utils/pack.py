@@ -17,9 +17,11 @@ orders below fast mode's own documented accuracy floor (~7e-3 solution /
 pack is invisible in fast-mode output. It is OPT-IN and must never be used
 on the contract path, whose 1e-6-grade parity it would destroy.
 
-NaN handling: NaNs are packed as -32768 (a value quantization never
-produces: quantized magnitudes are <= 32767) and restored as NaN on unpack,
-so masked-image NaN semantics survive the round trip exactly.
+NaN handling: NaNs (and any other non-finite pixel — an inf would otherwise
+make its block's scale inf and silently zero the whole 64-row block) are
+packed as -32768 (a value quantization never produces: quantized magnitudes
+are <= 32767) and restored as NaN on unpack, so masked-image NaN semantics
+survive the round trip exactly.
 
 Reference context: the reference ships full f32/f64 over PCIe at tens of
 GB/s and never needed this (sfft/EasySparsePacket.py feeds cupy arrays
@@ -56,7 +58,10 @@ def pack_i16(a: np.ndarray, block: int = 64) -> PackedI16:
     ap = np.zeros((npad, n1), np.float32)
     ap[:n0] = a
     blocks = ap.reshape(nb, block, n1)
-    nanmask = np.isnan(blocks)
+    # non-finite (NaN OR +-inf) pixels all ride the sentinel: one inf pixel
+    # would otherwise set its block scale to inf and quantize the whole
+    # block to 0 (unpack then yields 0*inf = NaN everywhere in the block)
+    nanmask = ~np.isfinite(blocks)
     absb = np.abs(np.where(nanmask, 0.0, blocks))
     bmax = absb.max(axis=(1, 2))
     scales = np.where(bmax > 0, bmax / np.float32(32767.0), 1.0).astype(
