@@ -51,6 +51,30 @@ NSL_STATIC = 8          # static-matrix slices (48 bits: the static DFT/phase
 KMAX = 8                # keep slice combos with i + j <= KMAX
 
 
+class SliceProfile(NamedTuple):
+    """Per-call override of the slicing depth (VERDICT r4 #1/#2).
+
+    The module defaults (NSL_DATA/NSL_STATIC/KMAX) are the full contract
+    profile: ~2^-48-grade tables relative to the RAW plane scale. The
+    peeled engine (core/pexact.py) runs the sliced transforms on the
+    smooth-subtracted FLUCTUATION only, whose correlations are the same
+    order as the *cancelled* normal-equation entries — so the same absolute
+    table accuracy needs fewer slices, and slice-dot work scales ~nsl_d*nsl_w
+    (deep contractions) / ~#combos(kmax) (butterfly stages)."""
+
+    nsl_data: int
+    nsl_static: int
+    kmax: int
+
+
+def _prof_or_default(prof: Optional["SliceProfile"]) -> "SliceProfile":
+    # resolved at call time so accuracy sweeps that rebind the module
+    # globals (tools/diag_slice_tuning.py) keep working
+    if prof is None:
+        return SliceProfile(NSL_DATA, NSL_STATIC, KMAX)
+    return prof
+
+
 # ---------------------------------------------------------------------------
 # pair (double-float) helpers — all f32 elementwise
 # ---------------------------------------------------------------------------
@@ -331,7 +355,7 @@ def _accum(outs, weights, sc, big: bool):
 
 
 def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool,
-                      M: int):
+                      M: int, kmax: Optional[int] = None):
     """Exact product contraction of ONE data slice-set against SEVERAL static
     slice-sets at once (typically a complex matrix's real and imag parts,
     stacked along the output axis so the data slices are read once).
@@ -355,7 +379,7 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool,
     nsl_w = Wsl_parts[0].shape[0]
     K = dsl.shape[-1]
     Mp = Wsl_parts[0].shape[-1]
-    groups = _group_combos(nsl_d, nsl_w, KMAX)
+    groups = _group_combos(nsl_d, nsl_w, KMAX if kmax is None else kmax)
 
     def scaled(s_d_, s_w_):
         if isinstance(s_w_, jnp.ndarray):
@@ -367,11 +391,15 @@ def _sliced_dot_multi(dsl, s_d, Wsl_parts, s_w_parts, batch_static: bool,
         Wstack = jnp.concatenate(
             [jnp.asarray(W[j]) for W in Wsl_parts for j in range(nsl_w)],
             axis=-1)
-        per_i = []
-        for i in range(nsl_d):
-            per_i.append(lax.dot_general(
-                dsl[i], Wstack, (((dsl[i].ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32))
+        # data slices beyond the last group (i > kmax) appear in no combo
+        ni = min(nsl_d, groups[-1][0] + 1)
+        # ONE dot, the slice axis folded into the batch (scanned-dot form):
+        # vs nsl_d separate unrolled dots this shrinks the generated dot
+        # section ~nsl_d-fold (the executable ships at ~1 MB/s at first
+        # dispatch on axon) at identical math — int32 accumulation per slice
+        per_i = lax.dot_general(
+            dsl[:ni], Wstack, (((dsl.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
         results = []
         for p, s_w in enumerate(s_w_parts):
             outs, weights = [], []
@@ -449,7 +477,8 @@ def _sliced_dot(dsl, s_d, Wsl, s_w, batch_static: bool, M: int):
 def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
                     batch_static: bool = False,
                     rowwise: bool = False,
-                    real_out: bool = False) -> CPair:
+                    real_out: bool = False,
+                    prof: Optional[SliceProfile] = None) -> CPair:
     """Exact complex matmul: data (..., K) pair  @  static complex W.
     W layouts: (K, M), or (B, K, M) with batch_static=True batching over the
     data's axis -2. Returns pair (..., M) (batched: (..., B, M)).
@@ -461,36 +490,39 @@ def _cmatmul_sliced(data: CPair, Wre: np.ndarray, Wim: np.ndarray,
     # (measured 1.8x faster 4K plane FFTs) and exact int32 accumulation at
     # any depth. (The earlier compile-time pathology was the batched-static
     # dot + odd output dims, not int8 itself.)
+    p = _prof_or_default(prof)
     M = Wre.shape[-1]
-    wr_sl, swr = _static_slices_for(Wre)
-    dr_sl, sdr = _slice_pair_real(data.rh, data.rl, NSL_DATA, rowwise,
+    wr_sl, swr = _static_slices_for(Wre, nsl=p.nsl_static)
+    dr_sl, sdr = _slice_pair_real(data.rh, data.rl, p.nsl_data, rowwise,
                                   int8=True)
     have_wi = Wim is not None and np.max(np.abs(Wim)) > 0
     if have_wi:
-        wi_sl, swi = _static_slices_for(Wim)
+        wi_sl, swi = _static_slices_for(Wim, nsl=p.nsl_static)
         W_parts, s_parts = [wr_sl, wi_sl], [swr, swi]
     else:
         W_parts, s_parts = [wr_sl], [swr]
     if not data.is_real:
-        di_sl, sdi = _slice_pair_real(data.ih, data.il, NSL_DATA, rowwise,
+        di_sl, sdi = _slice_pair_real(data.ih, data.il, p.nsl_data, rowwise,
                                       int8=True)
 
     if real_out and not data.is_real and have_wi:
         rr_h, rr_l = _sliced_dot_multi(dr_sl, sdr, [wr_sl], [swr],
-                                       batch_static, M)[0]
+                                       batch_static, M, kmax=p.kmax)[0]
         ii_h, ii_l = _sliced_dot_multi(di_sl, sdi, [wi_sl], [swi],
-                                       batch_static, M)[0]
+                                       batch_static, M, kmax=p.kmax)[0]
         zr_h, e1 = _two_sum(rr_h, -ii_h)
         return CPair(zr_h, rr_l - ii_l + e1, None, None)
 
-    outs_r = _sliced_dot_multi(dr_sl, sdr, W_parts, s_parts, batch_static, M)
+    outs_r = _sliced_dot_multi(dr_sl, sdr, W_parts, s_parts, batch_static, M,
+                               kmax=p.kmax)
     rr_h, rr_l = outs_r[0]
     if have_wi:
         ri_h, ri_l = outs_r[1]
     else:
         ri_h = ri_l = jnp.zeros_like(rr_h)
     if not data.is_real:
-        outs_i = _sliced_dot_multi(di_sl, sdi, W_parts, s_parts, batch_static, M)
+        outs_i = _sliced_dot_multi(di_sl, sdi, W_parts, s_parts, batch_static,
+                                   M, kmax=p.kmax)
         ir_h, ir_l = outs_i[0]
         if have_wi:
             ii_h, ii_l = outs_i[1]
@@ -608,7 +640,8 @@ def _pair_mul_static_real_in(v: CPair, W: np.ndarray) -> CPair:
 
 def exact_dft_axis(x: CPair, N: int, inverse: bool = False,
                    real_out: bool = False,
-                   half_out: bool = False) -> CPair:
+                   half_out: bool = False,
+                   prof: Optional[SliceProfile] = None) -> CPair:
     """Exact-grade DFT over the LAST axis (length N) of a pair array.
 
     real_out=True: return only the REAL part of the transform (as a real
@@ -637,7 +670,7 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False,
             CPair(data.rh[..., 0], data.rl[..., 0],
                   None if data.ih is None else data.ih[..., 0],
                   None if data.il is None else data.il[..., 0]),
-            DSc.real.copy(), DSc.imag.copy(), real_out=real_out)
+            DSc.real.copy(), DSc.imag.copy(), real_out=real_out, prof=prof)
         return out
     # stage 1: G[a, d] = sum_b x[b, a] DS[b, d] — contract b (axis -2).
     # move a before b so the contraction axis is last: (..., a, b)
@@ -645,7 +678,7 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False,
         return None if v is None else jnp.swapaxes(v, -1, -2)
 
     d1 = CPair(mv(data.rh), mv(data.rl), mv(data.ih), mv(data.il))
-    G = _cmatmul_sliced(d1, DS.real, DS.imag)          # (..., a, d)
+    G = _cmatmul_sliced(d1, DS.real, DS.imag, prof=prof)   # (..., a, d)
     # twiddle U[a, d] = G[a, d] * tw[a, d] (elementwise pair product)
     U = _pair_mul_static(G, tw)
     # stage 2: X[S c + d] = sum_a U[a, d] DR[a, c] — contract a
@@ -653,7 +686,7 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False,
     Rc = R // 2 + 1 if half_out else R
     DRc = DR[:, :Rc] if half_out else DR
     V = _cmatmul_sliced(d2, DRc.real.copy(), DRc.imag.copy(),
-                        real_out=real_out)  # (..., d, c)
+                        real_out=real_out, prof=prof)  # (..., d, c)
     # X[k] with k = S c + d -> layout (..., c, d)
     Nc = N // 2 + 1 if half_out else N
 
@@ -667,7 +700,8 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False,
 
 
 def exact_fft2_pair(F: jnp.ndarray, plane_chunk: int = 0,
-                    half: bool = False) -> CPair:
+                    half: bool = False,
+                    prof: Optional[SliceProfile] = None) -> CPair:
     """Exact-grade full complex 2-D spectrum of a real f64 stack (..., N0, N1).
     Returns pair (..., N0, N1) — or (..., N0, N1//2+1) with half=True, which
     keeps only the Hermitian half over the last axis (valid for REAL input;
@@ -702,21 +736,22 @@ def exact_fft2_pair(F: jnp.ndarray, plane_chunk: int = 0,
                 Fp = CPair(pf(F.rh), pf(F.rl), None, None)
                 out = lax.map(
                     lambda f: exact_fft2_pair(CPair(f[0], f[1], None, None),
-                                              half=half),
+                                              half=half, prof=prof),
                     (Fp.rh, Fp.rl))
             else:
-                out = lax.map(lambda f: exact_fft2_pair(f, half=half), pf(F))
+                out = lax.map(lambda f: exact_fft2_pair(f, half=half,
+                                                        prof=prof), pf(F))
             Nc = N1 // 2 + 1 if half else N1
             return CPair(*(None if v is None else
                            v.reshape(-1, N0, Nc)[:npl] for v in out))
     x = F if is_pair else pair_from_f64(F)
-    y = exact_dft_axis(x, N1, half_out=half)
+    y = exact_dft_axis(x, N1, half_out=half, prof=prof)
 
     def mv(v):
         return None if v is None else jnp.swapaxes(v, -1, -2)
 
     yt = CPair(mv(y.rh), mv(y.rl), mv(y.ih), mv(y.il))
-    z = exact_dft_axis(yt, N0)
+    z = exact_dft_axis(yt, N0, prof=prof)
     return CPair(mv(z.rh), mv(z.rl), mv(z.ih), mv(z.il))
 
 
@@ -786,7 +821,8 @@ def _corr_emats(N0: int, N1: int, wx: int, wy: int, half: bool = False):
 def exact_corr_window(specA: CPair, specB: CPair, N0: int, N1: int,
                       wx: int, wy: int, pairs: Optional[Tuple] = None,
                       symmetric: bool = False,
-                      chunk: Optional[int] = None) -> jnp.ndarray:
+                      chunk: Optional[int] = None,
+                      prof: Optional[SliceProfile] = None) -> jnp.ndarray:
     """CC(A_a, B_b)[rho, eps] for |rho|<=wx, |eps|<=wy, exact-grade.
 
     specA/specB: pair spectra stacks (Fa, N0, N1) / (Fb, N0, N1) from
@@ -816,13 +852,15 @@ def exact_corr_window(specA: CPair, specB: CPair, N0: int, N1: int,
         A = CPair(specA.rh[iaa], specA.rl[iaa], specA.ih[iaa], specA.il[iaa])
         B = CPair(specB.rh[jbb], specB.rl[jbb], specB.ih[jbb], specB.il[jbb])
         H = _pair_hadamard_conj(A, B)                    # (c, N0, N1)
-        Y = _cmatmul_sliced(H, E1.real, E1.imag, rowwise=True)  # (c, N0, R1)
+        Y = _cmatmul_sliced(H, E1.real, E1.imag, rowwise=True,
+                            prof=prof)                   # (c, N0, R1)
 
         def mvt(v):
             return jnp.swapaxes(v, -1, -2)
 
         Yt = CPair(mvt(Y.rh), mvt(Y.rl), mvt(Y.ih), mvt(Y.il))  # (c, R1, N0)
-        Z = _cmatmul_sliced(Yt, E0.real, E0.imag, rowwise=True)  # (c, R1, R0)
+        Z = _cmatmul_sliced(Yt, E0.real, E0.imag, rowwise=True,
+                            prof=prof)                   # (c, R1, R0)
         # CC = Re(sum_k0 Y[k0] E0[k0]) — real part only
         cc = (Z.rh.astype(jnp.float64) + Z.rl)
         return jnp.swapaxes(cc, -1, -2)                  # (c, R0, R1)
