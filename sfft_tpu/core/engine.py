@@ -55,11 +55,15 @@ def _normal_equations_impl(cfg: SFFTConfig, mI: jnp.ndarray, mJ: jnp.ndarray,
     s = cfg.SCALE
     separate_varying = cfg.scaling_mode == "SEPARATE-VARYING"
 
-    if cfg.greek_backend in ("peeled", "exact"):
+    if cfg.greek_backend in ("peeled", "exact", "pexact"):
         if cfg.greek_backend == "peeled":
             from sfft_tpu.core.peel import peeled_greek_tables
 
             out = peeled_greek_tables(mI, mJ, cfg)
+        elif cfg.greek_backend == "pexact":
+            from sfft_tpu.core.pexact import pexact_greek_tables
+
+            out = pexact_greek_tables(mI, mJ, cfg, shared=shared)
         else:
             from sfft_tpu.core.greek import greek_tables_exact
 
@@ -142,8 +146,8 @@ def _subtract_impl(
     cfg: SFFTConfig, I: jnp.ndarray, J: jnp.ndarray, solution: jnp.ndarray,
     shared=None,
 ) -> jnp.ndarray:
-    if cfg.fdiff_backend == "exact":
-        # pair-arithmetic path builds its own basis-weighted planes (each
+    if cfg.fdiff_backend in ("exact", "pexact"):
+        # pair-arithmetic paths build their own basis-weighted planes (each
         # f64 elementwise plane product costs ~30 ms per 4K^2 on TPU)
         return fdiff(cfg, solution, None, None, J, None, I=I, shared=shared)
     # fft32: the difference is computed in f32/c64 anyway — build the basis
@@ -162,7 +166,7 @@ def _jit(cfg: SFFTConfig, fn):
     executable, whose first dispatch on the axon runtime ships at well under
     1 MB/s (measured 620 s for one 4K transform with 92 MB of constant-
     bloated code vs 0.09 s steady-state — utils/jitconst.py)."""
-    if "exact" in (cfg.greek_backend, cfg.fdiff_backend):
+    if {"exact", "pexact"} & {cfg.greek_backend, cfg.fdiff_backend}:
         from sfft_tpu.utils.jitconst import jit_const_args
 
         return jit_const_args(fn)
@@ -188,6 +192,8 @@ def solve_and_subtract_fn(cfg: SFFTConfig):
     two pipelines — measured ~340 ms of duplicated FFT work at 4K).
     This is the flagship forward step."""
     both_exact = cfg.greek_backend == "exact" and cfg.fdiff_backend == "exact"
+    both_pexact = (cfg.greek_backend == "pexact"
+                   and cfg.fdiff_backend == "pexact")
 
     def step(I, J, mI, mJ):
         shared = None
@@ -196,6 +202,11 @@ def solve_and_subtract_fn(cfg: SFFTConfig):
 
             dt = jnp.dtype(cfg.dtype)
             shared = exact_plane_spectra(mI.astype(dt), mJ.astype(dt), cfg)
+        elif both_pexact:
+            from sfft_tpu.core.pexact import pexact_plane_spectra
+
+            dt = jnp.dtype(cfg.dtype)
+            shared = pexact_plane_spectra(mI.astype(dt), mJ.astype(dt), cfg)
         sol = _solve_impl(cfg, mI, mJ, shared=shared)
         # trace-time identity: True only when the ENCLOSING traced function
         # passes the same tracer object twice (a 2-arg wrapper calling
@@ -204,8 +215,9 @@ def solve_and_subtract_fn(cfg: SFFTConfig):
         # tracers, so the masked solve and unmasked subtract correctly keep
         # separate spectra there (they genuinely differ in survey use).
         same = (I is mI) and (J is mJ)
-        diff = _subtract_impl(cfg, I, J, sol,
-                              shared=shared if (both_exact and same) else None)
+        diff = _subtract_impl(
+            cfg, I, J, sol,
+            shared=shared if ((both_exact or both_pexact) and same) else None)
         return sol, diff
 
     return step

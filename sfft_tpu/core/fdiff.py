@@ -305,6 +305,11 @@ def fdiff(cfg: SFFTConfig, solution, SI, ST, J, SSc=None, I=None,
     if cfg.fdiff_backend == "exact":
         assert I is not None, "fdiff_exact needs the unmasked image I"
         return fdiff_exact(cfg, solution, I, J, shared=shared)
+    if cfg.fdiff_backend == "pexact":
+        from sfft_tpu.core.pexact import fdiff_pexact
+
+        assert I is not None, "fdiff_pexact needs the unmasked image I"
+        return fdiff_pexact(cfg, solution, I, J, shared=shared)
     if cfg.fdiff_backend == "fft":
         return fdiff_fft(cfg, solution, SI, ST, J, SSc)
     if cfg.fdiff_backend == "conv":
