@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--mesh", action="store_true",
                     help="use the sharded-mesh homogeneous batch path")
+    ap.add_argument("--pack", action="store_true",
+                    help="with --mesh: ship the pairs as int16 + per-block "
+                         "scales (HALF the H2D bytes over the ~50 MB/s axon "
+                         "tunnel; FAST-mode accuracy floor only — see "
+                         "utils/pack.py)")
     ap.add_argument("--out", default="/tmp/multi_out")
     args = ap.parse_args()
 
@@ -55,16 +60,31 @@ def main():
     cfg = make_config(n, n, 4)
 
     if args.mesh:
-        from sfft_tpu.parallel.batch import batched_subtract, make_data_mesh
+        from sfft_tpu.parallel.batch import (batched_subtract,
+                                             batched_subtract_packed,
+                                             make_data_mesh)
 
         ndev = jax.device_count()
         mesh = make_data_mesh(min(ndev, args.tasks))
         I = np.stack([p[0] for p in pairs])
         J = np.stack([p[1] for p in pairs])
-        t0 = time.time()
-        sols, diffs, rms = batched_subtract(I, J, I, J, cfg, mesh)
+        if args.pack:
+            # int16 H2D packing needs a FAST-grade config (quantization is
+            # invisible only below fast's own accuracy floor)
+            import dataclasses
+
+            cfg_fast = dataclasses.replace(
+                cfg, greek_backend="peeled", fdiff_backend="fft32",
+                solver="refined")
+            t0 = time.time()
+            sols, diffs, rms = batched_subtract_packed(
+                I, J, I, J, cfg_fast, mesh)
+        else:
+            t0 = time.time()
+            sols, diffs, rms = batched_subtract(I, J, I, J, cfg, mesh)
         rms = np.asarray(rms)
-        print(f"mesh batch: {args.tasks} pairs over {mesh.devices.size} devices "
+        print(f"mesh batch{' (int16-packed H2D)' if args.pack else ''}: "
+              f"{args.tasks} pairs over {mesh.devices.size} devices "
               f"in {time.time()-t0:.2f}s; diff RMS {rms.min():.3f}..{rms.max():.3f}")
         return
 

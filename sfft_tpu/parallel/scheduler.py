@@ -22,6 +22,7 @@ from __future__ import annotations
 import threading
 import time
 import traceback
+from functools import lru_cache
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -184,8 +185,15 @@ def run_mesh_batched(
     TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
     VERBOSE_LEVEL: int = 1,
     mesh=None,
+    PACK_H2D: str = "auto",
 ) -> Tuple[Dict[int, int], Dict[int, dict]]:
     """Survey dispatch with STREAMING homogeneous-group mesh batching.
+
+    PACK_H2D: 'auto' (default) ships FAST-mode groups as int16 + per-block
+    scales — half the bytes over the global ~50 MB/s axon tunnel, dequantized
+    inside the sharded jit (utils/pack.py; quantization two orders below
+    fast's accuracy floor, never applied to contract/pexact configs);
+    'off' always ships f64.
 
     The prep thread pool and the mesh dispatcher run CONCURRENTLY: as prep
     products arrive they are grouped by their static SFFTConfig (which pins
@@ -278,9 +286,22 @@ def run_mesh_batched(
             if pad:
                 stacks = [np.concatenate([s, np.repeat(s[-1:], pad, axis=0)])
                           for s in stacks]
-            staged = _stage_group_arrays(stacks, mesh)       # async H2D
-            with TimeoutAfter(TIMEOUT_4SUBTRACT_EACHTASK * len(tids)):
-                out = batched_subtract(*staged, cfg, mesh)   # async dispatch
+            if PACK_H2D == "auto" and _pack_eligible(cfg):
+                from sfft_tpu.parallel.batch import _batched_packed_fn
+                from sfft_tpu.utils.pack import pack_stack_i16
+
+                packed = []
+                for s_ in stacks:
+                    q, sc, n0, blk = pack_stack_i16(
+                        np.ascontiguousarray(s_, np.float32))
+                    packed.extend((q, sc))
+                staged = _stage_group_arrays(packed, mesh)   # async H2D
+                with TimeoutAfter(TIMEOUT_4SUBTRACT_EACHTASK * len(tids)):
+                    out = _batched_packed_fn(cfg, mesh, n0, blk)(*staged)
+            else:
+                staged = _stage_group_arrays(stacks, mesh)   # async H2D
+                with TimeoutAfter(TIMEOUT_4SUBTRACT_EACHTASK * len(tids)):
+                    out = batched_subtract(*staged, cfg, mesh)
             inflight.append((cfg, tids, pad, out))
         except (Exception, TimeoutError_):
             if VERBOSE_LEVEL >= 1:
@@ -350,6 +371,24 @@ def run_mesh_batched(
     return status, products
 
 
+def _pack_eligible(cfg) -> bool:
+    """int16 H2D packing is invisible only inside FAST-mode accuracy floors
+    (quantization ~1.5e-5 of block max vs fast's ~7e-3; utils/pack.py).
+    Contract/pexact/exact-solver configs must never be packed."""
+    return (getattr(cfg, "fdiff_backend", None) == "fft32"
+            and getattr(cfg, "greek_backend", None) in ("peeled", "fft32")
+            and getattr(cfg, "solver", None) != "exact")
+
+
+@lru_cache(maxsize=16)
+def _unpack_jit(n0: int, block: int):
+    import jax
+
+    from sfft_tpu.utils.pack import unpack_i16
+
+    return jax.jit(lambda q, s: unpack_i16(q, s, n0, block))
+
+
 def _stage_group_arrays(stacks, mesh):
     """Async sharded H2D of one mesh-batch group's four input stacks: each
     (B, N0, N1) stack is device_put with the batch axis sharded over the
@@ -370,14 +409,29 @@ def _prefetch_pair_planes(prep: dict) -> dict:
     the DMA then overlaps the current task's blocking solve). The engine
     consumes jnp arrays transparently. Used only on the per-task path —
     the mesh-batch path np.stacks prep products on host, and a device
-    round-trip there would cost a ~30 MB/s D2H fetch on axon."""
+    round-trip there would cost a ~30 MB/s D2H fetch on axon.
+
+    FAST-mode configs ship int16 + per-block scales over the ~50 MB/s
+    global tunnel (HALF the f32 bytes — the measured e2e bottleneck,
+    utils/pack.py) and dequantize in a tiny on-device jit; the stored
+    planes are ordinary device arrays either way."""
     import jax
     import jax.numpy as jnp
+
+    pack = _pack_eligible(prep.get("cfg"))
+    if pack:
+        from sfft_tpu.utils.pack import pack_i16
 
     for k in ("PixA_I", "PixA_J", "PixA_mI", "PixA_mJ"):
         a = prep.get(k)
         if a is not None and isinstance(a, np.ndarray):
-            prep[k] = jax.device_put(jnp.asarray(a))
+            if pack:
+                pk = pack_i16(np.ascontiguousarray(a, np.float32))
+                q = jax.device_put(pk.q)
+                s = jax.device_put(pk.scales)
+                prep[k] = _unpack_jit(pk.n0, pk.block)(q, s)
+            else:
+                prep[k] = jax.device_put(jnp.asarray(a))
     return prep
 
 
@@ -416,6 +470,7 @@ class MultiEasySparsePacket:
              TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
              TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
              MESH_BATCH: bool = False, mesh=None,
+             PACK_H2D: str = "auto",
              VERBOSE_LEVEL: int = 1):
         """MESH_BATCH=False: pipelined two-stage dispatch — CPU preprocessing
         threads overlap the device subtraction loop, reference semantics
@@ -450,7 +505,7 @@ class MultiEasySparsePacket:
                 NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
                 TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
                 TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
-                VERBOSE_LEVEL=VERBOSE_LEVEL, mesh=mesh,
+                VERBOSE_LEVEL=VERBOSE_LEVEL, mesh=mesh, PACK_H2D=PACK_H2D,
             )
         sched = MultiTaskScheduler(
             self.n, prep_fn, subtract_fn,
@@ -485,6 +540,7 @@ class MultiEasyCrowdedPacket:
              TIMEOUT_4PREPROC_EACHTASK: float = 300.0,
              TIMEOUT_4SUBTRACT_EACHTASK: float = 300.0,
              MESH_BATCH: bool = False, mesh=None,
+             PACK_H2D: str = "auto",
              VERBOSE_LEVEL: int = 1):
         from sfft_tpu.api.easy_crowded import EasyCrowdedPacket
 
@@ -513,7 +569,7 @@ class MultiEasyCrowdedPacket:
                 NUM_THREADS_4PREPROC=NUM_THREADS_4PREPROC,
                 TIMEOUT_4PREPROC_EACHTASK=TIMEOUT_4PREPROC_EACHTASK,
                 TIMEOUT_4SUBTRACT_EACHTASK=TIMEOUT_4SUBTRACT_EACHTASK,
-                VERBOSE_LEVEL=VERBOSE_LEVEL, mesh=mesh,
+                VERBOSE_LEVEL=VERBOSE_LEVEL, mesh=mesh, PACK_H2D=PACK_H2D,
             )
         sched = MultiTaskScheduler(
             self.n, prep_fn, subtract_fn,

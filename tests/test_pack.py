@@ -83,3 +83,89 @@ def test_batched_subtract_packed_matches_unpacked(rng):
     dref = np.asarray(diffs)
     rms = np.sqrt(np.mean((np.asarray(pdiffs) - dref) ** 2))
     assert rms < 1e-2 * np.max(np.abs(dref))
+
+
+def test_prefetch_packs_fast_configs_only():
+    """Scheduler prefetch ships FAST-mode planes as int16 (+ sentinel NaNs)
+    and leaves contract-grade configs unpacked (VERDICT r4 #5)."""
+    import dataclasses
+
+    import numpy as np
+
+    from sfft_tpu.config import BasisSpec, SFFTConfig
+    from sfft_tpu.parallel.scheduler import (_pack_eligible,
+                                             _prefetch_pair_planes)
+
+    base = SFFTConfig(N0=96, N1=96, w0=2, w1=2,
+                      kernel_basis=BasisSpec("polynomial", 2),
+                      bg_basis=BasisSpec("polynomial", 2),
+                      greek_backend="peeled", fdiff_backend="fft32",
+                      solver="refined")
+    assert _pack_eligible(base)
+    for gb, fb, sv in [("exact", "exact", "exact"),
+                       ("pexact", "pexact", "exact"),
+                       ("peeled", "fft32", "exact")]:
+        assert not _pack_eligible(dataclasses.replace(
+            base, greek_backend=gb, fdiff_backend=fb, solver=sv))
+    assert not _pack_eligible(None)
+
+    rng = np.random.default_rng(3)
+    I = rng.normal(100.0, 10.0, (96, 96))
+    I[5, 7] = np.nan
+    prep = {"cfg": base, "PixA_I": I.copy(), "PixA_J": I + 1.0,
+            "PixA_mI": np.nan_to_num(I), "PixA_mJ": np.nan_to_num(I) + 1.0,
+            "ContamMask_I": None}
+    out = _prefetch_pair_planes(prep)
+    got = np.asarray(out["PixA_I"])
+    assert np.isnan(got[5, 7])                      # sentinel round trip
+    m = np.isfinite(I)
+    # quantization bound: 0.5 * blockmax / 32767
+    tol = 0.5 * np.nanmax(np.abs(I)) / 32767 * 1.01
+    assert np.max(np.abs(got[m] - I[m])) <= tol
+
+
+def test_mesh_batched_packed_dispatch_matches_unpacked():
+    """run_mesh_batched PACK_H2D='auto' packs fast-grade groups; results
+    agree with the unpacked dispatch inside fast's accuracy floor."""
+    import numpy as np
+
+    from sfft_tpu.config import BasisSpec, SFFTConfig
+    from sfft_tpu.parallel.batch import make_data_mesh
+    from sfft_tpu.parallel.scheduler import STATUS_OK, run_mesh_batched
+
+    cfg = SFFTConfig(N0=64, N1=64, w0=1, w1=1,
+                     kernel_basis=BasisSpec("polynomial", 1),
+                     bg_basis=BasisSpec("polynomial", 1),
+                     greek_backend="peeled", fdiff_backend="fft32",
+                     solver="refined")
+    rng = np.random.default_rng(7)
+    pairs = []
+    for _ in range(8):
+        I = 100.0 + rng.normal(0, 3.0, (64, 64))
+        J = 1.05 * I + 2.0 + rng.normal(0, 1.0, (64, 64))
+        pairs.append((I, J))
+
+    def prep_fn(tid):
+        I, J = pairs[tid]
+        return {"cfg": cfg, "I": I, "J": J}
+
+    def group_inputs(prep):
+        return (prep["cfg"], prep["I"], prep["J"], prep["I"], prep["J"],
+                True)
+
+    def subtract_fn(tid, prep, precomputed=None):
+        assert precomputed is not None
+        _sol, diff = precomputed
+        return float(np.sqrt(np.mean(np.asarray(diff) ** 2)))
+
+    mesh = make_data_mesh(8)
+    outs = {}
+    for mode in ("auto", "off"):
+        status, products = run_mesh_batched(
+            8, prep_fn, subtract_fn, group_inputs,
+            NUM_THREADS_4PREPROC=2, VERBOSE_LEVEL=0, mesh=mesh,
+            PACK_H2D=mode)
+        assert all(s == STATUS_OK for s in status.values()), status
+        outs[mode] = np.array([products[t]["result"] for t in range(8)])
+    # quantization moves fast-mode RMS by far less than fast's own floor
+    assert np.max(np.abs(outs["auto"] - outs["off"])) < 1e-3

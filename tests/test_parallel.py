@@ -566,3 +566,50 @@ def test_mecp_real_pipeline(tmp_path):
         resid = np.sqrt(np.nanmean(diff**2))
         raw = np.sqrt(np.nanmean((sci - ref) ** 2))
         assert resid < 0.3 * raw, f"task {t}: {resid} vs raw {raw}"
+
+
+@pytest.mark.parametrize("half", [False, True])
+def test_sharded_exact_fft2_pair_matches_local(half):
+    """Hand-scheduled shard_map pencil decomposition of the exact pair-FFT
+    (explicit four-lane all_to_all transposes) vs the local transform."""
+    rng = np.random.default_rng(9)
+    import jax.numpy as jnp
+    from sfft_tpu.core.exact_fft import exact_fft2_pair, pair_to_c128
+    from sfft_tpu.parallel.batch import make_data_mesh
+    from sfft_tpu.parallel.sharded_fft import sharded_exact_fft2_pair
+
+    mesh = make_data_mesh(8)
+    F = rng.normal(100.0, 30.0, (128, 96))
+    sp_sh = sharded_exact_fft2_pair(jnp.asarray(F), mesh, half=half)
+    sp_lo = exact_fft2_pair(jnp.asarray(F), half=half)
+    a = np.asarray(pair_to_c128(sp_sh))
+    b = np.asarray(pair_to_c128(sp_lo))
+    assert a.shape == b.shape
+    assert np.max(np.abs(a - b)) < 1e-13 * np.max(np.abs(b))
+
+
+def test_sharded_subtract_step_production_engines():
+    """Row-sharded single-pair step for the PRODUCTION engine families
+    (contract exact + pexact), not only the CPU-default fft/lu config."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    from sfft_tpu.core.engine import solve_and_subtract_fn
+    from sfft_tpu.parallel.batch import make_data_mesh
+    from sfft_tpu.parallel.sharded_fft import sharded_subtract_step
+    from tests.test_engine import base_cfg, make_pair
+
+    import jax
+
+    mesh = make_data_mesh(8)
+    I, J = make_pair(rng, N0=64, N1=64)
+    base = base_cfg(N0=64, N1=64, w=1)
+    for gb, fb, sv in [("exact", "exact", "exact"),
+                       ("pexact", "pexact", "exact")]:
+        cfg = dataclasses.replace(base, greek_backend=gb, fdiff_backend=fb,
+                                  solver=sv)
+        run = sharded_subtract_step(cfg, mesh)
+        sol, diff = run(I, J, I, J)
+        sol_ref, diff_ref = jax.jit(solve_and_subtract_fn(cfg))(I, J, I, J)
+        dev = float(np.max(np.abs(np.asarray(diff) - np.asarray(diff_ref))))
+        assert dev < 1e-7, (gb, dev)

@@ -50,6 +50,10 @@ def main():
         row = {"n": n, "a100_s": A100_S.get(n)}
         for tag, over in [
             ("contract", {}),
+            ("pexact", dict(greek_backend="pexact", fdiff_backend="pexact",
+                            solver="exact")),
+            ("balanced", dict(greek_backend="pexact", fdiff_backend="pexact",
+                              solver="exact", mode="balanced")),
             ("fast", dict(greek_backend="peeled", fdiff_backend="fft32",
                           solver="refined")),
         ]:
@@ -58,27 +62,42 @@ def main():
             compiled = fn.lower(Id, Jd).compile()
             wu.wait()
             np.asarray(compiled(Id, Jd)[0])   # warm
+            # >= 7 reps, median + spread (VERDICT r4 #3: 1-3% margins on
+            # min-of-3 are not statistically robust on a shared chip)
             ts = []
-            for _ in range(3):
+            for _ in range(7):
                 t0 = time.time()
                 np.asarray(compiled(Id, Jd)[0])
                 ts.append(time.time() - t0)
-            row[f"{tag}_s"] = round(min(ts), 4)
-            print(f"  {n}^2 {tag}: {min(ts)*1000:.1f} ms",
+            ts = sorted(ts)
+            med = ts[len(ts) // 2]
+            row[f"{tag}_s"] = round(med, 4)
+            row[f"{tag}_min_s"] = round(ts[0], 4)
+            row[f"{tag}_max_s"] = round(ts[-1], 4)
+            row[f"{tag}_spread_pct"] = round(100 * (ts[-1] - ts[0]) / med, 1)
+            print(f"  {n}^2 {tag}: median {med*1000:.1f} ms "
+                  f"(min {ts[0]*1000:.1f}, max {ts[-1]*1000:.1f}, "
+                  f"spread {row[f'{tag}_spread_pct']}%)",
                   file=sys.stderr, flush=True)
         if row["a100_s"]:
-            row["contract_vs_a100"] = round(row["a100_s"] / row["contract_s"], 2)
-            row["fast_vs_a100"] = round(row["a100_s"] / row["fast_s"], 2)
+            for tag in ("contract", "pexact", "balanced", "fast"):
+                if f"{tag}_s" in row:
+                    row[f"{tag}_vs_a100"] = round(
+                        row["a100_s"] / row[f"{tag}_s"], 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    hdr = f"{'size':>6} {'contract':>10} {'fast':>10} {'A100 f64':>10} {'speedup(c)':>11}"
+    hdr = (f"{'size':>6} {'contract':>10} {'pexact':>10} {'balanced':>10} "
+           f"{'fast':>10} {'A100 f64':>10} {'speedup(c)':>11}")
     print("\n" + hdr, file=sys.stderr)
     for r in rows:
         a = f"{r['a100_s']:.3f}s" if r.get("a100_s") else "-"
         s = f"{r.get('contract_vs_a100', '-')}" if r.get("a100_s") else "-"
-        print(f"{r['n']:>6} {r['contract_s']*1000:>8.0f}ms "
-              f"{r['fast_s']*1000:>8.0f}ms {a:>10} {s:>11}", file=sys.stderr)
+        def ms(tag):
+            return (f"{r[f'{tag}_s']*1000:>8.0f}ms" if f"{tag}_s" in r
+                    else f"{'-':>10}")
+        print(f"{r['n']:>6} {ms('contract')} {ms('pexact')} {ms('balanced')} "
+              f"{ms('fast')} {a:>10} {s:>11}", file=sys.stderr)
 
 
 if __name__ == "__main__":
