@@ -40,14 +40,17 @@ import numpy as np
 
 NB = 6                  # bits per integer slice
 NSL_DATA = 9            # data slices (54 bits)
-NSL_STATIC = 8          # static-matrix slices (48 bits: the static DFT/phase
-                        # matrices are unit-scale, so slice 9 sat below the
-                        # pair lanes' 2^-48 floor — measured with a call-time-
-                        # resolved sweep (tools/diag_slice_tuning.py,
-                        # 2026-08-18): windowed-corr table error 1.681e-13 at
-                        # 8 vs 1.683e-13 at 9 (even 7 gives 1.664e-13; the
-                        # data slices/KMAX truncation dominate), while every
-                        # deep-path static operand narrows by 11%)
+NSL_STATIC = 8          # static-matrix slices (48 bits). The NSL_STATIC->7
+                        # cut named as headroom (tools/diag_slice_tuning.py
+                        # measured corr-TABLE error 1.664e-13 at 7 vs
+                        # 1.681e-13 at 8) was TRIED in r5 and REVERTED: the
+                        # direct-DFT spectrum error (prime lengths, and each
+                        # Cooley-Tukey stage) degrades to its 42-bit static
+                        # floor 2^-42 = 2.3e-13 (measured 1.8e-13 at N=97 vs
+                        # the 1e-13 contract bound; tests/test_exact_fft.py
+                        # caught it) — the corr-table metric hid the loss
+                        # because its error is data-slice-dominated. Static
+                        # depth must match the pair lanes' 48 bits.
 KMAX = 8                # keep slice combos with i + j <= KMAX
 
 
