@@ -761,24 +761,24 @@ def main():
             extra["balanced_s"] = round(t_bal, 4)
         except Exception as exc:
             log(f"balanced mode skipped: {exc}")
-    # contract-peeled candidate (VERDICT r4 #1): peel + sliced pair-FFT of
-    # the FLUCTUATION at the default (8, 7, 6) profile — 48-bit capture of
-    # the fluct scale, i.e. the plain contract's own pair floor. Timed +
-    # full parity/certificate below; flips the contract default once the
-    # hardware certificate matches.
+    # The any-basis raw-sliced engine ('exact'/'exact') — the r1-r4 contract
+    # and still the B-spline production path — timed + certified alongside
+    # the peeled default for continuity. (Measured 2026-08-19 before the
+    # flip: 794 ms, sol 5.7e-6 = its own tables' pair floor amplified; the
+    # peeled default is 686 ms at sol 2.9e-8.)
     comp_p = None
     cfg_pex = None
     if platform != "cpu":
         try:
             cfg_pex = make_config(n, n, w, dtype="float64", greek_chunk=0,
-                                  greek_backend="pexact",
-                                  fdiff_backend="pexact", solver="exact")
+                                  greek_backend="exact",
+                                  fdiff_backend="exact", solver="exact")
             fn_p = build_step(cfg_pex)
             t_pex, comp_p, _ = time_mode(
-                f"contract-peeled {cfg_pex.pexact_prof}", fn_p, Id, Jd, log)
-            extra["contract_peeled_s"] = round(t_pex, 4)
+                "contract-unpeeled (any-basis exact)", fn_p, Id, Jd, log)
+            extra["contract_unpeeled_s"] = round(t_pex, 4)
         except Exception as exc:
-            log(f"contract-peeled mode skipped: {exc}")
+            log(f"contract-unpeeled mode skipped: {exc}")
     if comp_f is not None:
         try:
             thr, h2d = bench_throughput(comp_f, Id, Jd, log)
@@ -839,15 +839,17 @@ def main():
                 extra["balanced_diff_rms_err"] = float(f"{rb:.3e}")
             if comp_p is not None:
                 sp_, rp_, sol_pex = parity(
-                    "contract-peeled", comp_p, Id, Jd, sol_cpu, diff_cpu, log)
-                extra["contract_peeled_sol_max_rel_err"] = float(f"{sp_:.3e}")
-                extra["contract_peeled_diff_rms_err"] = float(f"{rp_:.3e}")
+                    "contract-unpeeled", comp_p, Id, Jd, sol_cpu, diff_cpu,
+                    log)
+                extra["contract_unpeeled_sol_max_rel_err"] = \
+                    float(f"{sp_:.3e}")
+                extra["contract_unpeeled_diff_rms_err"] = float(f"{rp_:.3e}")
                 try:
                     extra.update(residual_certificate(
                         cfg_pex, w, n, I, J, sol_pex, sol_cpu, log,
-                        prefix="contract_peeled"))
+                        prefix="contract_unpeeled"))
                 except Exception as exc:
-                    log(f"contract-peeled certificate skipped: {exc}")
+                    log(f"contract-unpeeled certificate skipped: {exc}")
         except Exception as exc:
             log(f"parity bench skipped: {exc}")
         try:

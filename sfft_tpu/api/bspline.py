@@ -87,8 +87,16 @@ def make_bspline_config(
         # exact-f64 residuals to the f64 floor (valid because Tikhonov
         # regularization keeps cond(equilibrated) ~1e7 — measured on the
         # 13,226-dof NIRCam system, tools/diag_nircam_f64.py).
+        # All-polynomial configs get the r5 peeled+sliced engine
+        # (core/pexact.py): faster AND ~200x tighter 4K parity than the
+        # raw-sliced engine (the peel needs polynomial shift closure).
+        all_poly = (kernel_basis.kind == "polynomial"
+                    and bg_basis.kind == "polynomial"
+                    and (scaling_basis is None
+                         or scaling_basis.kind == "polynomial"))
+        eng = "pexact" if all_poly else "exact"
         defaults = dict(
-            greek_backend="exact", fdiff_backend="exact", solver="exact",
+            greek_backend=eng, fdiff_backend=eng, solver="exact",
         )
     defaults.update(engine_kwargs)
     cfg = SFFTConfig(

@@ -184,11 +184,17 @@ class SFFTConfig:
 
 
 # Named TPU precision/speed modes (documented in DESIGN.md). Measured at the
-# 4K bench pair (cond_eq ~3e8, the adversarial case):
-#   contract — f64 parity contract end to end: exact-grade sliced-int8 tables,
-#              exact blocked-Cholesky solve, exact pair-arithmetic difference.
-#              ~778 ms/4K; sol 5.7e-6 / diff RMS 2.5e-6 vs the CPU f64 oracle
-#              (the measured f64 band at that conditioning).
+# 4K bench pair (cond_eq ~3e8, the adversarial case), 2026-08-19:
+#   contract — f64 parity contract end to end, via the PEELED + sliced
+#              engine (core/pexact.py) at profile (8,7,6): smooth content
+#              exact (moment algebra), fluctuation through the sliced-int8
+#              pair-FFT, exact blocked-Cholesky solve, exact difference.
+#              686 ms/4K; sol 2.9e-8 / diff RMS 2.6e-8 vs the CPU f64
+#              oracle — ~200x tighter than the r4 raw-sliced engine (5.7e-6),
+#              because the peel removes the pair-representation error on the
+#              smooth mass that the delta-basis cancellation amplifies
+#              (longdouble tabamp certificate 2.8e-8 vs 5.7e-6). B-spline
+#              bases fall back to the any-basis 'exact' backends.
 #   balanced — peeled + sliced exact engine at a REDUCED slice profile
 #              (core/pexact.py): smooth content exact (moment algebra),
 #              fluctuation correlations/difference through the sliced
@@ -202,7 +208,7 @@ class SFFTConfig:
 #              amplified), diff ~3e-2; appropriate for well-conditioned /
 #              regularized systems and throughput surveys.
 TPU_MODES = {
-    "contract": dict(greek_backend="exact", fdiff_backend="exact",
+    "contract": dict(greek_backend="pexact", fdiff_backend="pexact",
                      solver="exact"),
     "balanced": dict(greek_backend="pexact", fdiff_backend="pexact",
                      solver="exact", pexact_prof=(6, 6, 5)),
@@ -225,6 +231,7 @@ def make_config(
     solver: Optional[str] = None,
     greek_chunk: int = 0,
     mode: Optional[str] = None,
+    pexact_prof: Optional[Tuple[int, int, int]] = None,
 ) -> SFFTConfig:
     """Reference-parameter-compatible constructor.
 
@@ -251,6 +258,8 @@ def make_config(
             solver = solver or sel["solver"]
             extra = {k: v for k, v in sel.items()
                      if k not in ("greek_backend", "fdiff_backend", "solver")}
+    if pexact_prof is not None:
+        extra["pexact_prof"] = tuple(int(x) for x in pexact_prof)
     if greek_backend is None or fdiff_backend is None or solver is None:
         # resolving platform defaults is the ONLY reason to touch the
         # backend here; with all three knobs explicit this function stays
@@ -264,14 +273,22 @@ def make_config(
         on_tpu = False
     if greek_backend is None:
         # complex128 FFT does not compile on TPU. Default = the CONTRACT mode
-        # (the reference computes everything in f64): exact-grade tables via
-        # the sliced-integer pair-FFT engine (core/exact_fft.py). The ~5x
-        # faster mixed-precision fast mode is greek_backend="peeled",
+        # (the reference computes everything in f64): since r5 the PEELED +
+        # sliced engine (core/pexact.py) — exact moment algebra for smooth
+        # content, sliced-int8 pair-FFT for the fluctuation at (8,7,6). On
+        # the 4K bench pair this is both faster (686 vs 794 ms) and ~200x
+        # closer to the CPU f64 oracle (sol 2.9e-8 vs 5.7e-6: the peel
+        # removes the pair-representation error on the smooth mass that the
+        # delta-basis cancellation amplifies — measured via the longdouble
+        # table-amplification certificate, 2026-08-19). make_config builds
+        # polynomial bases only, which pexact requires; B-spline configs
+        # (api/bspline.py) use the any-basis 'exact' engine. The ~3x faster
+        # mixed-precision fast mode is greek_backend="peeled",
         # fdiff_backend="fft32", solver="refined" (documented accuracy:
         # ~7e-3 max-rel solution deviation on ill-conditioned systems).
-        greek_backend = "exact" if (dtype == "float64" and on_tpu) else "fft"
+        greek_backend = "pexact" if (dtype == "float64" and on_tpu) else "fft"
     if fdiff_backend is None:
-        fdiff_backend = "exact" if (dtype == "float64" and on_tpu) else "fft"
+        fdiff_backend = "pexact" if (dtype == "float64" and on_tpu) else "fft"
     if solver is None:
         solver = "exact" if (dtype == "float64" and on_tpu) else "lu"
 

@@ -111,3 +111,19 @@ def test_pexact_rejects_bspline():
     assert not pexact_supported(cfg)
     with pytest.raises(ValueError, match="polynomial"):
         GeneralSFFT.GSS(*(np.zeros((64, 64)),) * 4, cfg)
+
+
+@pytest.mark.parametrize("variant", ["sep-const", "no-cpr"])
+def test_pexact_other_scaling_modes(pair, variant):
+    """SEPARATE-CONSTANT and ENTANGLED/ConstPhotRatio=False ride the same
+    union/entangled algebra — pin them against the f64 oracle too."""
+    I, J = pair
+    kw = (dict(scaling_basis=BasisSpec("polynomial", 0))
+          if variant == "sep-const" else dict(const_phot_ratio=False))
+    cfg_o = _cfg("fft", "fft", **kw)
+    cfg_p = _cfg("pexact", "pexact", pexact_prof=(9, 8, 8), **kw)
+    sol_o, d_o, _ = GeneralSFFT.GSS(I, J, I, J, cfg_o)
+    sol_p, d_p, _ = GeneralSFFT.GSS(I, J, I, J, cfg_p)
+    sol_o, sol_p = np.asarray(sol_o), np.asarray(sol_p)
+    assert np.max(np.abs(sol_p - sol_o)) < 1e-6 * np.abs(sol_o).max()
+    assert np.sqrt(np.mean((np.asarray(d_p) - np.asarray(d_o)) ** 2)) < 1e-6

@@ -48,12 +48,15 @@ def main():
         Id = jax.device_put(jnp.asarray(I))
         Jd = jax.device_put(jnp.asarray(J))
         row = {"n": n, "a100_s": A100_S.get(n)}
+        # 'contract' = the production default (peeled+sliced pexact since
+        # r5); 'unpeeled' = the r1-r4 any-basis raw-sliced engine, kept for
+        # curve continuity with the committed r4 numbers
         for tag, over in [
             ("contract", {}),
-            ("pexact", dict(greek_backend="pexact", fdiff_backend="pexact",
-                            solver="exact")),
+            ("unpeeled", dict(greek_backend="exact", fdiff_backend="exact",
+                              solver="exact")),
             ("balanced", dict(greek_backend="pexact", fdiff_backend="pexact",
-                              solver="exact", mode="balanced")),
+                              solver="exact", pexact_prof=(6, 6, 5))),
             ("fast", dict(greek_backend="peeled", fdiff_backend="fft32",
                           solver="refined")),
         ]:
@@ -80,14 +83,14 @@ def main():
                   f"spread {row[f'{tag}_spread_pct']}%)",
                   file=sys.stderr, flush=True)
         if row["a100_s"]:
-            for tag in ("contract", "pexact", "balanced", "fast"):
+            for tag in ("contract", "unpeeled", "balanced", "fast"):
                 if f"{tag}_s" in row:
                     row[f"{tag}_vs_a100"] = round(
                         row["a100_s"] / row[f"{tag}_s"], 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    hdr = (f"{'size':>6} {'contract':>10} {'pexact':>10} {'balanced':>10} "
+    hdr = (f"{'size':>6} {'contract':>10} {'unpeeled':>10} {'balanced':>10} "
            f"{'fast':>10} {'A100 f64':>10} {'speedup(c)':>11}")
     print("\n" + hdr, file=sys.stderr)
     for r in rows:
@@ -96,7 +99,7 @@ def main():
         def ms(tag):
             return (f"{r[f'{tag}_s']*1000:>8.0f}ms" if f"{tag}_s" in r
                     else f"{'-':>10}")
-        print(f"{r['n']:>6} {ms('contract')} {ms('pexact')} {ms('balanced')} "
+        print(f"{r['n']:>6} {ms('contract')} {ms('unpeeled')} {ms('balanced')} "
               f"{ms('fast')} {a:>10} {s:>11}", file=sys.stderr)
 
 
