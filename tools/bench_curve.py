@@ -50,7 +50,14 @@ def main():
         row = {"n": n, "a100_s": A100_S.get(n)}
         # 'contract' = the production default (peeled+sliced pexact since
         # r5); 'unpeeled' = the r1-r4 any-basis raw-sliced engine, kept for
-        # curve continuity with the committed r4 numbers
+        # curve continuity with the committed r4 numbers. Default mode set
+        # = the headline pair; select others via SFFT_CURVE_MODES (comma
+        # list) — each (mode, size) program is a separate cold compile on a
+        # fresh axon server boot (~5-7 min for exact-solver modes).
+        import os as _os
+
+        sel_modes = _os.environ.get("SFFT_CURVE_MODES",
+                                    "contract,fast").split(",")
         for tag, over in [
             ("contract", {}),
             ("unpeeled", dict(greek_backend="exact", fdiff_backend="exact",
@@ -60,6 +67,8 @@ def main():
             ("fast", dict(greek_backend="peeled", fdiff_backend="fft32",
                           solver="refined")),
         ]:
+            if tag not in sel_modes:
+                continue
             cfg = make_config(n, n, w, dtype="float64", greek_chunk=0, **over)
             fn = build_step(cfg)
             compiled = fn.lower(Id, Jd).compile()
