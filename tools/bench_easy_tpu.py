@@ -12,7 +12,9 @@ Prints one JSON line with wall times (cold-ish first call incl. compile, then
 warm repeats) and the same QA statistics the golden CPU tests pin, so the
 on-hardware outputs can be compared against tests/data/golden_auto_expected.json.
 
-Usage: python tools/bench_easy_tpu.py  (on the axon TPU host)
+Usage: python tools/bench_easy_tpu.py [sparse|crowded|both]  (on the axon
+TPU host; default both — the selector exists so a half interrupted by a
+transient axon remote-compile failure can be rerun alone)
 """
 
 import json
@@ -33,6 +35,8 @@ def log(*a):
 
 
 def main():
+    part = sys.argv[1] if len(sys.argv) > 1 else "both"
+    assert part in ("sparse", "crowded", "both"), part
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -54,6 +58,14 @@ def main():
     log(f"session attach: {attach:.1f}s (overlapped with imports)")
 
     # --- Easy sparse ------------------------------------------------------
+    if part in ("sparse", "both"):
+        run_sparse(out, exp, platform, log)
+    if part in ("crowded", "both"):
+        run_crowded(out, exp, platform, log)
+    print(json.dumps(out))
+
+
+def run_sparse(out, exp, platform, log):
     from sfft_tpu.api.easy_sparse import EasySparsePacket
 
     kw = dict(ForceConv="AUTO", KerHWLimit=(2, 6), VERBOSE_LEVEL=0,
@@ -101,6 +113,8 @@ def main():
     log(f"[easy sparse] planted transient peak/RMS: "
         f"{peak / diff_rms_active:.1f} (gate >20)")
 
+
+def run_crowded(out, exp, platform, log):
     # --- Easy crowded -----------------------------------------------------
     from sfft_tpu.api.easy_crowded import EasyCrowdedPacket
 
@@ -132,8 +146,6 @@ def main():
         f"best-of-3 {min(ts_c):.2f}s; diff RMS(active) "
         f"{out['crowded_diff_rms_active'][0]:.5f} (golden CPU "
         f"{ec['diff_rms_active']:.5f})")
-
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":
