@@ -95,16 +95,18 @@ class ConstArgsJit:
 
     def _sig(self, args):
         # shape/dtype only — never jnp.asarray here (it would eagerly
-        # device-transfer full-size host inputs just to read metadata)
+        # device-transfer full-size host inputs just to read metadata).
+        # Flatten first: args may be pytrees (lists/dicts of arrays).
+        leaves, treedef = jax.tree_util.tree_flatten(args)
         out = []
-        for a in args:
+        for a in leaves:
             shape = getattr(a, "shape", None)
             dtype = getattr(a, "dtype", None)
             if shape is None or dtype is None:
                 a = np.asarray(a)
                 shape, dtype = a.shape, a.dtype
             out.append((tuple(shape), str(dtype)))
-        return tuple(out)
+        return (treedef, tuple(out))
 
     def _build(self, args) -> _Executable:
         closed, out_shape = jax.make_jaxpr(
@@ -131,7 +133,9 @@ class ConstArgsJit:
         def run(consts_, *args_):
             cs = [jax.lax.complex(consts_[i], consts_[i + 1]) if cplx
                   else consts_[i] for cplx, i in specs]
-            out = _eval_jaxpr(jaxpr, cs, *args_)
+            # jaxpr invars are the FLAT leaves of the traced args (pytree
+            # containers are flattened by make_jaxpr)
+            out = _eval_jaxpr(jaxpr, cs, *jax.tree_util.tree_leaves(args_))
             # restore the wrapped function's output pytree (dict/NamedTuple/
             # nested) — eval_jaxpr returns the flat leaves
             return jax.tree_util.tree_unflatten(out_tree, out)

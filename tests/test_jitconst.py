@@ -108,6 +108,29 @@ def test_signature_cache_no_retrace():
     assert calls["n"] == 2
 
 
+def test_pytree_args_signature():
+    """Args may be pytrees whose leaves have mixed shapes (a CPair stack, a
+    list of planes) — the signature probe must flatten, not np.asarray the
+    container (that raised on inhomogeneous lists; hit by
+    tools/diag_pexact_stages.py passing a NamedTuple of mixed-shape arrays)."""
+    calls = {"n": 0}
+
+    def fn(tree):
+        calls["n"] += 1
+        a, (b, c) = tree
+        return a.sum() + b.sum() + c.sum()
+
+    f = jit_const_args(fn)
+    tree = (np.ones((3, 4)), (np.ones((5,)), np.ones((2, 2, 2))))
+    assert float(f(tree)) == 12.0 + 5.0 + 8.0
+    f((np.zeros((3, 4)), (np.zeros((5,)), np.zeros((2, 2, 2)))))
+    assert calls["n"] == 1      # same signature -> no retrace
+    # different structure -> distinct cache entry, not a collision
+    f2 = jit_const_args(fn)
+    assert float(f2([np.ones((3, 4)), [np.ones((5,)), np.ones((2, 2, 2))]])) \
+        == 25.0
+
+
 def test_numpy_args_accepted_without_eager_transfer():
     """Host numpy args are legal; the signature probe must not round-trip
     them through jnp.asarray (metadata only)."""
