@@ -195,6 +195,15 @@ def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
     shape (..., 1)): essential when row magnitudes span many orders (e.g.
     cross-spectra, whose DC row dwarfs everything) — a global scale would
     throw away the small rows' significance."""
+    if int8:
+        # opt-in single-pass Pallas kernel (bit-identical; 4.1x on resident
+        # operands but a net loss in situ where XLA fuses the producer into
+        # this chain — measurements in core/pallas_slice.py)
+        from sfft_tpu.core import pallas_slice
+
+        if pallas_slice.supported(hi):
+            return pallas_slice.slice_pair_real(
+                hi, lo, nsl, rowwise, NB, _pow2ceil_scalar)
     if rowwise:
         s = _pow2ceil_scalar(jnp.max(jnp.abs(hi), axis=-1, keepdims=True))
     else:
@@ -205,17 +214,35 @@ def _slice_pair_real(hi: jnp.ndarray, lo: jnp.ndarray, nsl: int,
     hi2 = _fence(hi + lo)
     lo = lo - (hi2 - hi)
     hi = hi2
-    r = hi / s
-    out = []
+    r0 = hi / s
     inject = 4  # hi fully consumed after ceil(24/NB) = 4 slices
+    # NOTE the sequential remainder chain below is the MEASURED optimum on
+    # this TPU. Two rewrites lost on hardware (2026-08-20, docs/
+    # diag_pexact_stages_4096_r5{c,e}): (1) a single-pass Pallas kernel
+    # (core/pallas_slice.py, opt-in) — 4.1x on resident operands but a net
+    # loss in situ because it forces the fused producer chain (Hadamard,
+    # twiddles) to materialize (greek 220 -> 293 ms); (2) a telescoped form
+    # p_q = round(r0 2^{NBq}) - 2^NB round(r0 2^{NB(q-1)}) with no serial
+    # chain — XLA then RECOMPUTES the producer into each slice's fusion
+    # (pair-FFT stage 291 -> 318 ms). The chain's serial dependency is what
+    # makes XLA share one producer materialization across all slices.
+    out = _seq_slices(r0, lo / s, nsl, inject, int8)
+    return jnp.stack(out), s
+
+
+def _seq_slices(r0, lo_over_s, nsl: int, inject: int, int8: bool):
+    """Sequential remainder-chain slicing (also the exact algorithm the
+    opt-in Pallas kernel implements verbatim — bit-matched in tests)."""
+    r = r0
+    out = []
     for q in range(nsl):
         sc = np.float32(2.0 ** (NB * (q + 1)))
         p = jnp.round(r * sc)
         out.append(p.astype(jnp.int8) if int8 else p)
         r = r - p / sc
         if q == inject - 1:
-            r = r + lo / s
-    return jnp.stack(out), s
+            r = r + lo_over_s
+    return out
 
 
 def _slice_triple_real(hi: jnp.ndarray, mid: jnp.ndarray, lo: jnp.ndarray,
@@ -235,6 +262,11 @@ def _slice_triple_real(hi: jnp.ndarray, mid: jnp.ndarray, lo: jnp.ndarray,
     # the mid/lo injections land at q==3 / q==7: with nsl < 8 they would be
     # silently dropped, degrading the claimed 72-bit capture — fail loudly
     assert nsl >= 8, f"_slice_triple_real needs nsl >= 8 (got {nsl})"
+    from sfft_tpu.core import pallas_slice
+
+    if pallas_slice.supported(hi):
+        return pallas_slice.slice_triple_real(
+            hi, mid, lo, nsl, rowwise, NB, _pow2ceil_scalar)
     if rowwise:
         s = _pow2ceil_scalar(jnp.max(jnp.abs(hi), axis=-1, keepdims=True))
     else:
@@ -700,6 +732,150 @@ def exact_dft_axis(x: CPair, N: int, inverse: bool = False,
         return v[..., :Nc] if half_out else v
 
     return CPair(fin(V.rh), fin(V.rl), fin(V.ih), fin(V.il))
+
+
+def exact_sep_weighted_spectra(head, base: CPair, U: np.ndarray,
+                               V: np.ndarray,
+                               prof: Optional[SliceProfile] = None) -> CPair:
+    """Stacked half spectra of  list(head) + [base * U[k][:, None] *
+    V[k][None, :]  for k]  — the separable-weight fast path of
+    exact_fft2_pair(half=True).
+
+    head: real CPairs transformed as-is (e.g. the J plane); base: one real
+    CPair (the I plane or its fluctuation); U (F, N0) / V (F, N1): static
+    f64 row/column weights per output plane (basis-plane factors).
+
+    Two structural savings over transforming F + len(head) full planes:
+      * the axis-1 (column) legs run once per DISTINCT V row — a basis
+        plane's row weight U[k] depends only on axis 0, so it COMMUTES with
+        the axis-1 transform (applied to the transformed rows instead, the
+        same ~2^-48 pair product either way). A degree-2 polynomial basis
+        dedupes 7 -> 4 legs; a (Fi x Fj) B-spline product basis Fi*Fj -> Fj.
+      * both legs ride lax.map bodies compiled once.
+
+    The axis-1 real leg measured 30.8 ms/plane at 4K (the single most
+    expensive repeated unit in the contract step) — this dedup is the
+    biggest lever on the pair-FFT stage."""
+    F = U.shape[0]
+    nh = len(head)
+    keys = {}
+    vsrc = []                       # per plane: deduped axis-1 leg index
+    vrows = []
+    for k in range(F):
+        kb = V[k].tobytes()
+        if kb not in keys:
+            keys[kb] = len(vrows)
+            vrows.append(V[k])
+        vsrc.append(keys[kb])
+    N0 = base.rh.shape[-2]
+    N1 = base.rh.shape[-1]
+
+    planes1 = list(head)
+    for vr in vrows:
+        if np.all(vr == 1.0):
+            planes1.append(base)
+        else:
+            planes1.append(_pair_mul_static_rr(base, vr[None, :]))
+    st1 = pair_stack(planes1)
+    T = lax.map(lambda rl_: exact_dft_axis(
+        CPair(rl_[0], rl_[1], None, None), N1, half_out=True, prof=prof),
+        (st1.rh, st1.rl))                              # (nh+nv, N0, N1h)
+
+    src = np.concatenate([np.arange(nh), nh + np.asarray(vsrc)])
+    W = np.concatenate([np.ones((nh, N0)), U], axis=0)
+    Wh = W.astype(np.float32)
+    Wl = (W - Wh.astype(np.float64)).astype(np.float32)
+    args = (T.rh[src], T.rl[src], T.ih[src], T.il[src],
+            jnp.asarray(_intern(Wh))[:, :, None],
+            jnp.asarray(_intern(Wl))[:, :, None])
+
+    def body(a):
+        rh, rl, ih, il, wh, wl = a
+
+        def one(h, l):
+            p, e = _two_prod(h, jnp.broadcast_to(wh, h.shape))
+            return p, e + h * wl + l * wh
+
+        zrh, zrl = one(rh, rl)
+        zih, zil = one(ih, il)
+
+        def mv(v):
+            return jnp.swapaxes(v, -1, -2)
+
+        zt = exact_dft_axis(CPair(mv(zrh), mv(zrl), mv(zih), mv(zil)),
+                            N0, prof=prof)
+        return (mv(zt.rh), mv(zt.rl), mv(zt.ih), mv(zt.il))
+
+    out = lax.map(body, args)
+    return CPair(*out)
+
+
+@lru_cache(maxsize=None)
+def _idft_halfin_mats(N: int):
+    """Static matrices for the half-input real inverse over the last axis:
+
+        y[n] = Re( sum_{k=0}^{N/2-1} x[k] e^{+2 pi i k n / N} ),   N even.
+
+    Cooley-Tukey over M = N/2 = R*S with k = a + R*b (a < R, b < S; R the
+    LARGER factor so the stage-1 contraction depth is the small one):
+      stage 1  H[a, m] = sum_b x[a + R b] ES[b, m],  ES[b, m] = e^{2pi i b m / (N/R)}
+      stage 2  y[m + (N/R) t] = Re( sum_a (H tw)[a, m] ER[a, t] ),
+               tw[a, m] = e^{2pi i a m / N},  ER[a, t] = e^{2pi i a t / R}.
+
+    vs zero-padding the Hermitian half to full width and running the plain
+    inverse (the pre-r5 fdiff path): the stage-1 data is HALF the size (half
+    the slicing traffic) and the total MAC work drops ~25%."""
+    M = N // 2
+    r, s_ = _factor(M)
+    R = max(r, s_)
+    S = M // R
+    m_ = N // R                       # stage-1 output width = 2S
+    ES = np.exp(2j * np.pi * np.outer(np.arange(S), np.arange(m_)) / m_)
+    tw = np.exp(2j * np.pi * np.outer(np.arange(R), np.arange(m_)) / N)
+    ER = np.exp(2j * np.pi * np.outer(np.arange(R), np.arange(R)) / R)
+    return R, S, m_, ES, tw, ER
+
+
+def exact_idft_halfin_real(x: CPair, N: int,
+                           prof: Optional[SliceProfile] = None) -> CPair:
+    """Real inverse DFT over the last axis from the FOLDED Hermitian half.
+
+    x: pair (..., N//2+1), fold weights already applied (weight-2 interior
+    columns, weight-1 DC and Nyquist). Returns the real pair
+    y[n] = Re(sum_{k<=N/2} x[k] e^{+2 pi i k n/N}) WITHOUT the 1/N scale.
+    N must be even and composite (else callers keep the zero-pad path)."""
+    assert N % 2 == 0, "half-input inverse needs even N"
+    R, S, m_, ES, tw, ER = _idft_halfin_mats(N)
+    sh = x.rh.shape[:-1]
+    M = N // 2
+
+    def rs(v):
+        # x[a + R b] == x[..., :M].reshape(S, R)[b, a]; contract b (axis -2)
+        return None if v is None else jnp.swapaxes(
+            v[..., :M].reshape(sh + (S, R)), -1, -2)
+
+    d1 = CPair(rs(x.rh), rs(x.rl), rs(x.ih), rs(x.il))      # (..., a, b)
+    H = _cmatmul_sliced(d1, ES.real, ES.imag, prof=prof)    # (..., a, m)
+    U = _pair_mul_static(H, tw)
+
+    def mv(v):
+        return None if v is None else jnp.swapaxes(v, -1, -2)
+
+    d2 = CPair(mv(U.rh), mv(U.rl), mv(U.ih), mv(U.il))      # (..., m, a)
+    Y = _cmatmul_sliced(d2, ER.real, ER.imag, real_out=True,
+                        prof=prof)                          # (..., m, t)
+
+    def fin(v):
+        return jnp.swapaxes(v, -1, -2).reshape(sh + (N,))   # n = m_ t + m
+
+    yh, yl = fin(Y.rh), fin(Y.rl)
+    # Nyquist column: + Re(x[N/2]) * (-1)^n  (sign is exact, mul exact)
+    sign = np.ones(N, np.float32)
+    sign[1::2] = -1.0
+    sj = jnp.asarray(_intern(sign))
+    nh, ne = _two_sum(yh, x.rh[..., M, None] * sj)
+    nl = yl + x.rl[..., M, None] * sj + ne
+    return CPair(nh, nl, None, None)
 
 
 def exact_fft2_pair(F: jnp.ndarray, plane_chunk: int = 0,

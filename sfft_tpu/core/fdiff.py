@@ -281,10 +281,17 @@ def fdiff_exact(
     zt = exact_dft_axis(CPair(mv(FDw.rh), mv(FDw.rl), mv(FDw.ih),
                               mv(FDw.il)), N0, inverse=True)   # (N1h, N0)
     z = CPair(mv(zt.rh), mv(zt.rl), mv(zt.ih), mv(zt.il))      # (N0, N1h)
-    pad = N1 - N1h
-    zp = CPair(*(None if v is None else jnp.pad(v, ((0, 0), (0, pad)))
-                 for v in z))
-    y = exact_dft_axis(zp, N1, inverse=True, real_out=True)    # real pair
+    if N1 % 2 == 0:
+        # half-input real inverse: no zero-pad to full width, half the
+        # stage-1 slicing traffic (exact_fft.exact_idft_halfin_real)
+        from sfft_tpu.core.exact_fft import exact_idft_halfin_real
+
+        y = exact_idft_halfin_real(z, N1)
+    else:
+        pad = N1 - N1h
+        zp = CPair(*(None if v is None else jnp.pad(v, ((0, 0), (0, pad)))
+                     for v in z))
+        y = exact_dft_axis(zp, N1, inverse=True, real_out=True)
     D = (y.rh.astype(jnp.float64) + y.rl) / (N0 * N1)
 
     # --- background term, exactly, in image space --------------------------

@@ -273,8 +273,8 @@ def exact_plane_spectra(I: jnp.ndarray, J: jnp.ndarray, cfg):
     of Fij, SScp list or None) and the stacked half spectra CPair in plane
     order [J] + SI (+ SSc)."""
     from sfft_tpu.core.basis import basis_1d_tables
-    from sfft_tpu.core.exact_fft import (exact_fft2_pair, pair_from_f64,
-                                         pair_sep_mul, pair_stack)
+    from sfft_tpu.core.exact_fft import (exact_sep_weighted_spectra,
+                                         pair_from_f64, pair_sep_mul)
     from sfft_tpu.core.indices import ref_basis_exponents
 
     N0, N1 = cfg.N0, cfg.N1
@@ -282,15 +282,21 @@ def exact_plane_spectra(I: jnp.ndarray, J: jnp.ndarray, cfg):
     Jp = pair_from_f64(J.astype(jnp.float64))
     Uk, Vk = basis_1d_tables(cfg.kernel_basis, N0, N1)
     exps_k = ref_basis_exponents(cfg.kernel_basis)
+    # image-domain weighted planes (the GAM/PGS moment route consumes them)
     SIp = [pair_sep_mul(Ip, Uk[:, i], Vk[:, j]) for (i, j) in exps_k]
-    planes = [Jp] + SIp
+    Urows = [Uk[:, i] for (i, _j) in exps_k]
+    Vrows = [Vk[:, j] for (_i, j) in exps_k]
     SScp = None
     if cfg.scaling_mode == "SEPARATE-VARYING":
         Us, Vs = basis_1d_tables(cfg.scaling_basis, N0, N1)
         exps_s = ref_basis_exponents(cfg.scaling_basis)
         SScp = [pair_sep_mul(Ip, Us[:, i], Vs[:, j]) for (i, j) in exps_s]
-        planes = planes + SScp
-    sp = exact_fft2_pair(pair_stack(planes), half=True)
+        Urows += [Us[:, i] for (i, _j) in exps_s]
+        Vrows += [Vs[:, j] for (_i, j) in exps_s]
+    # separable-weight pair-FFT with deduped axis-1 legs: Fi*Fj basis planes
+    # share Fj distinct column factors (exact_sep_weighted_spectra)
+    sp = exact_sep_weighted_spectra([Jp], Ip, np.stack(Urows),
+                                    np.stack(Vrows))
     return Jp, SIp, SScp, sp
 
 

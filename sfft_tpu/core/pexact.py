@@ -47,8 +47,8 @@ import numpy as np
 from sfft_tpu.config import SFFTConfig
 from sfft_tpu.core.exact_fft import (CPair, SliceProfile, _intern, _two_prod,
                                      _two_sum, exact_corr_window,
-                                     exact_fft2_pair, pair_from_f64,
-                                     pair_sep_mul, pair_stack,
+                                     exact_sep_weighted_spectra,
+                                     pair_from_f64,
                                      _pair_mul_static_rr, _pair_hadamard_conj,
                                      _cmatmul_sliced, exact_dft_axis)
 from sfft_tpu.core.indices import ref_basis_exponents
@@ -184,11 +184,14 @@ def pexact_plane_spectra(I: jnp.ndarray, J: jnp.ndarray,
     # the tables — at or below the plain exact backend's own pair floor.
     FIp = pair_sub(pair_from_f64(I), pair_poly_plane(mI, N0, N1))
     FJp = pair_sub(pair_from_f64(J), pair_poly_plane(mJ, N0, N1))
-    c0, c1 = g.ax0o.c, g.ax1o.c
-    planes = [FJp] + [pair_sep_mul(FIp, c0 ** int(i), c1 ** int(j))
-                      for (i, j) in g.exps_k]
     prof = SliceProfile(*cfg.pexact_prof)
-    sp = exact_fft2_pair(pair_stack(planes), half=True, prof=prof)
+    # axis-1-deduped separable-weight pair-FFT: 7 -> 4 axis-1 legs at the
+    # degree-2 config (exact_fft.exact_sep_weighted_spectra)
+    c0 = (np.arange(N0, dtype=np.float64) + 1.0) / N0
+    c1 = (np.arange(N1, dtype=np.float64) + 1.0) / N1
+    U = np.stack([c0 ** int(i) for (i, _j) in g.exps_k])
+    V = np.stack([c1 ** int(j) for (_i, j) in g.exps_k])
+    sp = exact_sep_weighted_spectra([FJp], FIp, U, V, prof=prof)
     return PexactShared(mI=mI, mJ=mJ, momI_o=momI_o, momJ_g=momJ_g, sp=sp)
 
 
@@ -420,10 +423,15 @@ def fdiff_pexact(cfg: SFFTConfig, solution: jnp.ndarray, I: jnp.ndarray,
     zt = exact_dft_axis(CPair(mv(FDw.rh), mv(FDw.rl), mv(FDw.ih),
                               mv(FDw.il)), N0, inverse=True, prof=prof)
     z = CPair(mv(zt.rh), mv(zt.rl), mv(zt.ih), mv(zt.il))
-    pad = N1 - N1h
-    zp = CPair(*(None if v is None else jnp.pad(v, ((0, 0), (0, pad)))
-                 for v in z))
-    y = exact_dft_axis(zp, N1, inverse=True, real_out=True, prof=prof)
+    if N1 % 2 == 0:
+        from sfft_tpu.core.exact_fft import exact_idft_halfin_real
+
+        y = exact_idft_halfin_real(z, N1, prof=prof)
+    else:
+        pad = N1 - N1h
+        zp = CPair(*(None if v is None else jnp.pad(v, ((0, 0), (0, pad)))
+                     for v in z))
+        y = exact_dft_axis(zp, N1, inverse=True, real_out=True, prof=prof)
     Dfl = _pair_mul_static_rr(y, np.float64(1.0 / (N0 * N1)))
 
     # --- smooth model: closed-form shift algebra ----------------------------

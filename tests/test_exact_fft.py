@@ -238,3 +238,132 @@ def test_engine_exact_backend_nonsquare_asymmetric(rng):
     assert np.max(np.abs(np.asarray(sol1) - np.asarray(sol0))) / sc < 1e-8
     np.testing.assert_allclose(np.asarray(diff1), np.asarray(diff0),
                                rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("N", [64, 128, 100, 10, 50])
+def test_exact_idft_halfin_real(rng, N):
+    """Half-input real inverse (fold-weighted Hermitian half -> real signal,
+    no zero-pad): machine-grade vs numpy irfft, incl. non-power-of-2 even N.
+    This is the fdiff axis-1 inverse path (fdiff_exact / fdiff_pexact)."""
+    from sfft_tpu.core.exact_fft import exact_idft_halfin_real
+
+    Nh = N // 2 + 1
+    x = 2000.0 * (1 + np.linspace(0, 1, N)) + rng.normal(0, 1, (3, N))
+    x *= np.exp(rng.normal(0, 2, x.shape))
+    Z = np.fft.rfft(x, axis=-1)
+    fold = np.full(Nh, 2.0)
+    fold[0] = 1.0
+    if N % 2 == 0:
+        fold[-1] = 1.0
+    Zf = Z * fold
+
+    def pairc(v):
+        hi = v.astype(np.float32)
+        return jnp.asarray(hi), jnp.asarray((v - hi).astype(np.float32))
+
+    rh, rl = pairc(Zf.real)
+    ih, il = pairc(Zf.imag)
+    y = jax.jit(lambda a, b, c, d: exact_idft_halfin_real(
+        CPair(a, b, c, d), N))(rh, rl, ih, il)
+    got = (np.asarray(y.rh, np.float64) + np.asarray(y.rl)) / N
+    assert np.max(np.abs(got - x)) / np.max(np.abs(x)) < 1e-13
+
+
+def _seq_slice_ref(hi, lo, nsl, rowwise):
+    """Sequential remainder-chain slicing (the algorithm the Pallas kernel
+    implements verbatim) — the telescoped default breaks round-half-even
+    ties at the other parity, so bit-equality is pinned against this."""
+    from sfft_tpu.core import exact_fft as ef
+
+    if rowwise:
+        s = ef._pow2ceil_scalar(jnp.max(jnp.abs(hi), axis=-1, keepdims=True))
+    else:
+        s = ef._pow2ceil_scalar(jnp.max(jnp.abs(hi)))
+    hi2 = ef._fence(hi + lo)
+    lo2 = lo - (hi2 - hi)
+    return jnp.stack(ef._seq_slices(hi2 / s, lo2 / s, nsl, 4, True)), s
+
+
+@pytest.mark.parametrize("rowwise", [True, False])
+def test_pallas_slice_bit_identical(rng, rowwise):
+    """core/pallas_slice.py must return BIT-IDENTICAL slices + scales to the
+    XLA _slice_pair_real form (the engine's exactness certificates transfer
+    only under equality). Runs the real kernel through the Pallas interpreter
+    on CPU; on hardware the same equality was checked on-device
+    (tools/diag_slice_cost.py)."""
+    from sfft_tpu.core import exact_fft as ef
+    from sfft_tpu.core import pallas_slice
+    from sfft_tpu.core.exact_fft import _slice_pair_real
+
+    nsl = 8
+    for shape in [(64, 384), (3, 40, 256), (130, 120)]:
+        v = rng.normal(0, 7.3, shape) * np.exp(rng.normal(0, 4, shape))
+        hi = jnp.asarray(v.astype(np.float32))
+        lo = jnp.asarray((v - np.asarray(hi, np.float64)).astype(np.float32))
+        sl_x, s_x = jax.jit(
+            lambda h, l: _seq_slice_ref(h, l, nsl, rowwise))(hi, lo)
+        sl_p, s_p = jax.jit(
+            lambda h, l: pallas_slice.slice_pair_real(
+                h, l, nsl, rowwise, ef.NB, ef._pow2ceil_scalar,
+                interpret=True))(hi, lo)
+        np.testing.assert_array_equal(np.asarray(sl_p), np.asarray(sl_x))
+        np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+def test_pallas_slice_triple_bit_identical(rng):
+    """Triple (72-bit) Pallas slicing must bit-match _slice_triple_real."""
+    from sfft_tpu.core import exact_fft as ef
+    from sfft_tpu.core import pallas_slice
+    from sfft_tpu.core.exact_fft import _slice_triple_real
+
+    nsl = 12
+    v = rng.normal(0, 7.3, (70, 300)) * np.exp(rng.normal(0, 4, (70, 300)))
+    hi = v.astype(np.float32)
+    mid = (v - hi.astype(np.float64)).astype(np.float32)
+    lo = (v - hi.astype(np.float64) - mid.astype(np.float64)).astype(
+        np.float32)
+    hi, mid, lo = map(jnp.asarray, (hi, mid, lo))
+    for rowwise in (True, False):
+        sl_x, s_x = jax.jit(lambda a, b, c: _slice_triple_real(
+            a, b, c, nsl, rowwise=rowwise))(hi, mid, lo)
+        sl_p, s_p = jax.jit(lambda a, b, c: pallas_slice.slice_triple_real(
+            a, b, c, nsl, rowwise, ef.NB, ef._pow2ceil_scalar,
+            interpret=True))(hi, mid, lo)
+        np.testing.assert_array_equal(np.asarray(sl_p), np.asarray(sl_x))
+        np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_x))
+
+
+@pytest.mark.parametrize("rowwise", [True, False])
+def test_slicing_representation_bound(rng, rowwise):
+    """Property test of the int8 slicing representation: all slices in the
+    int8-safe range, and the reconstruction hits the true f64 value to the
+    pair floor. (Also pins _slice_pair_real == the sequential reference —
+    the telescoped rewrite that would break this was measured slower on
+    hardware and reverted; see the note in exact_fft._slice_pair_real.)"""
+    from sfft_tpu.core import exact_fft as ef
+    from sfft_tpu.core.exact_fft import _slice_pair_real
+
+    nsl = 9
+    v = rng.normal(0, 7.3, (50, 300)) * np.exp(rng.normal(0, 5, (50, 300)))
+    hi = jnp.asarray(v.astype(np.float32))
+    lo = jnp.asarray((v - np.asarray(hi, np.float64)).astype(np.float32))
+    sl_t, s_t = jax.jit(
+        lambda h, l: _slice_pair_real(h, l, nsl, rowwise=rowwise))(hi, lo)
+    sl_s, s_s = jax.jit(
+        lambda h, l: _seq_slice_ref(h, l, nsl, rowwise))(hi, lo)
+    np.testing.assert_array_equal(np.asarray(s_t), np.asarray(s_s))
+    assert np.max(np.abs(np.asarray(sl_t, np.int32))) <= 96
+    w = 2.0 ** (-ef.NB * (np.arange(nsl) + 1.0))
+    rec_t = np.einsum("q,q...->...", w, np.asarray(sl_t, np.float64))
+    rec_s = np.einsum("q,q...->...", w, np.asarray(sl_s, np.float64))
+    # both remainders are <= 0.5 * 2^-NB*nsl of scale; difference <= 1 ulp
+    bound = 2.0 ** (-ef.NB * nsl)
+    assert np.max(np.abs(rec_t - rec_s)) <= bound
+    # and the telescoped representation hits the true value to the pair
+    # floor: the lo-injection add (b0 = r4 + lo/s) rounds at ~2^-49 of
+    # scale in BOTH forms — the representation bound is 2^-48, not the
+    # slice-count bound (measured 1.78e-15 = 2^-49 for each)
+    val = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    err = np.abs(rec_t * np.asarray(s_t, np.float64) - val)
+    assert np.max(err / np.asarray(jnp.broadcast_to(s_t, err.shape))) \
+        <= 2.0 ** -48
